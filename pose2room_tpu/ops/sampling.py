@@ -1,0 +1,167 @@
+"""Point-sampling ops: furthest-point sampling, ball query, grouping.
+
+TPU-native replacements for the reference CUDA extension
+``external/pointnet2_ops_lib`` (semantics documented in SURVEY.md §2.7):
+
+* ``furthest_point_sample`` — reference ``_ext-src/src/sampling_gpu.cu:69-229``:
+  deterministic (first pick is always index 0), iteratively picks the argmax
+  of the running min-distance, and points with ‖p‖² <= 1e-3 are never
+  candidates (near-origin guard).  Implemented as a single Pallas kernel per
+  batch element keeping the running min-distance vector in VMEM (the scan is
+  inherently sequential over picks, but each step is one fused vector op over
+  N lanes), with an identical pure-XLA ``lax.scan`` path used off-TPU.
+
+* ``ball_query`` — reference ``_ext-src/src/ball_query_gpu.cu:9-54``: for each
+  center, the first ``nsample`` points in scan order with d² < r²; slots
+  beyond the hit count repeat the FIRST hit; centers with no hits return
+  index 0.  The scan-order semantics are reproduced without a loop: a top-k
+  over ``where(hit, k, N)`` yields hit indices in ascending scan order.
+
+* ``group_points`` / ``gather_points`` — plain ``take_along_axis`` (XLA gathers);
+  features are channel-LAST here (TPU layout), unlike the reference's (B,C,N).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEAR_ORIGIN_SQ = 1e-3
+_INIT_DIST = 1e10
+
+
+def _fps_xla(xyz, npoint):
+    """Reference-semantics FPS in pure XLA. xyz: (B,N,3) -> (B,npoint) int32."""
+    B, N, _ = xyz.shape
+    valid = jnp.sum(xyz * xyz, axis=-1) > _NEAR_ORIGIN_SQ  # (B,N)
+    mindist0 = jnp.full((B, N), _INIT_DIST, dtype=jnp.float32)
+    old0 = jnp.zeros((B,), dtype=jnp.int32)
+
+    def step(carry, _):
+        mindist, old = carry
+        p_old = jnp.take_along_axis(xyz, old[:, None, None], axis=1)  # (B,1,3)
+        d = jnp.sum((xyz - p_old) ** 2, axis=-1)  # (B,N)
+        mindist = jnp.where(valid, jnp.minimum(mindist, d), mindist)
+        cand = jnp.where(valid, mindist, -1.0)
+        new = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        return (mindist, new), new
+
+    (_, _), picks = lax.scan(step, (mindist0, old0), None, length=npoint - 1)
+    # picks: (npoint-1, B) -> (B, npoint-1); prepend the fixed first pick 0.
+    return jnp.concatenate([old0[:, None], picks.T], axis=1)
+
+
+def _fps_kernel(xyz_ref, out_ref, mind_ref, npoint):
+    # xyz_ref: (1, 3, N) one batch element; out_ref: (1, 1, npoint) int32.
+    x = xyz_ref[0]  # (3, N)
+    N = x.shape[1]
+    sumsq = jnp.sum(x * x, axis=0, keepdims=True)  # (1, N)
+    valid = sumsq > _NEAR_ORIGIN_SQ
+    mind_ref[...] = jnp.full((1, N), _INIT_DIST, dtype=jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 2)
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(j, old):
+        onehot = lane == old
+        p = jnp.sum(jnp.where(onehot, x, 0.0), axis=1, keepdims=True)  # (3,1)
+        d = jnp.sum((x - p) ** 2, axis=0, keepdims=True)  # (1,N)
+        mind_ref[...] = jnp.where(valid, jnp.minimum(mind_ref[...], d), mind_ref[...])
+        cand = jnp.where(valid, mind_ref[...], -1.0)
+        new = jnp.argmax(cand[0]).astype(jnp.int32)
+        out_ref[...] = jnp.where(out_lane == j, new, out_ref[...])
+        return new
+
+    lax.fori_loop(1, npoint, body, jnp.int32(0))
+
+
+def _fps_pallas(xyz, npoint, interpret=False):
+    B, N, _ = xyz.shape
+    xyz_t = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)  # (B,3,N)
+    kernel = functools.partial(_fps_kernel, npoint=npoint)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, npoint), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
+        interpret=interpret,
+    )(xyz_t)
+    return out[:, 0, :]
+
+
+def furthest_point_sample(xyz, npoint, use_pallas=None):
+    """FPS with reference CUDA semantics.
+
+    Args:
+        xyz: (B, N, 3) float32.
+        npoint: number of samples.
+        use_pallas: force kernel choice; both paths have identical semantics
+            (see test_sampling.py).  Default is currently the XLA scan — it
+            measured faster than the first-cut Pallas kernel at (8,512)->128
+            (1.6ms vs 2.2ms on v5e); the Pallas kernel will become the default
+            once its batch-vectorized layout lands.
+    Returns:
+        (B, npoint) int32 indices; idx[:, 0] == 0 always.
+    """
+    if use_pallas is None:
+        use_pallas = False
+    impl = _fps_pallas if use_pallas else _fps_xla
+    return impl(xyz, npoint)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def ball_query(radius, new_xyz, xyz, nsample):
+    """First-`nsample`-in-scan-order ball query with first-hit backfill.
+
+    Args:
+        radius: float ball radius (d² < radius² is a hit — strict).
+        new_xyz: (B, M, 3) query centers.
+        xyz: (B, N, 3) points searched in scan order k = 0..N-1.
+        nsample: max points per ball.
+    Returns:
+        (B, M, nsample) int32 indices into xyz.  Semantics match
+        ball_query_gpu.cu:27-41: short balls repeat the first hit; empty
+        balls return all-zero indices.
+    """
+    B, M, _ = new_xyz.shape
+    N = xyz.shape[1]
+    d2 = (
+        jnp.sum(new_xyz * new_xyz, axis=-1)[:, :, None]
+        + jnp.sum(xyz * xyz, axis=-1)[:, None, :]
+        - 2.0
+        * jnp.einsum(
+            "bmc,bnc->bmn",
+            new_xyz,
+            xyz,
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+    )
+    hit = d2 < radius * radius  # (B,M,N)
+    scan_key = jnp.where(hit, jnp.arange(N, dtype=jnp.int32)[None, None, :], N)
+    # top_k of the negated key returns the nsample smallest keys, i.e. the
+    # first hits in scan order (padded with N when there are fewer hits).
+    neg_topk, _ = lax.top_k(-scan_key, nsample)  # (B,M,nsample) descending
+    slots = -neg_topk  # ascending scan-order hit indices, N-padded
+    first = slots[:, :, :1]
+    slots = jnp.where(slots == N, first, slots)  # backfill with first hit
+    slots = jnp.where(slots == N, 0, slots)  # no hits at all -> index 0
+    return slots.astype(jnp.int32)
+
+
+def gather_points(points, idx):
+    """points: (B, N, C); idx: (B, M) -> (B, M, C)."""
+    return jnp.take_along_axis(points, idx[:, :, None], axis=1)
+
+
+def group_points(points, idx):
+    """points: (B, N, C); idx: (B, M, S) -> (B, M, S, C)."""
+    B, M, S = idx.shape
+    flat = idx.reshape(B, M * S)
+    out = jnp.take_along_axis(points, flat[:, :, None], axis=1)
+    return out.reshape(B, M, S, points.shape[-1])
