@@ -1,0 +1,116 @@
+"""P2RNet: backbone -> center votes -> proposals, as a pure flax module.
+
+Parity with reference models/p2rnet/modules/network.py:11-106:
+* ``__call__`` (train forward): STGCN backbone, center voting, L2-normalized
+  vote features (network.py:56-58), ProposalNet with sampled MDN predictions;
+* ``generate`` (eval): same trunk but deterministic MDN ``get_mean`` (or
+  Bernoulli multi-mode sampling) and mixture weights exported in ``pi``.
+
+Unlike the reference there is no nn.DataParallel wrapping or ``net.module``
+indirection: the model is a pure function of (params, batch, rng) and is
+sharded with jax.sharding at the call site (see pose2room_tpu/parallel).
+"""
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pose2room_tpu.models.stgcn import STGCN
+from pose2room_tpu.models.vote import CenterVote
+from pose2room_tpu.models.proposal import ProposalNet
+from pose2room_tpu.registry import METHODS
+
+
+@dataclasses.dataclass(frozen=True)
+class P2RNetConfig:
+    num_frames: int = 768
+    num_seeds: int = 512
+    seed_sampling: str = "uniform"
+    num_proposals: int = 128
+    vote_factor: int = 1
+    cluster_sampling: str = "vote_fps"
+    num_gaussian: int = 100
+    num_class: int = 22
+    num_joints: int = 53
+    origin_joint_id: int = 0
+
+    @classmethod
+    def from_cfg(cls, cfg):
+        """Build from a reference-format YAML config dict."""
+        data = cfg.config.get("data", {})
+        return cls(
+            num_frames=data.get("num_frames", 768),
+            num_seeds=data.get("num_seeds", 512),
+            seed_sampling=data.get("seed_sampling", "uniform"),
+            num_proposals=data.get("num_target", 128),
+            vote_factor=data.get("vote_factor", 1),
+            cluster_sampling=data.get("cluster_sampling", "vote_fps"),
+            num_gaussian=data.get("num_gaussian", 100),
+            num_class=cfg.dataset_config.num_class,
+            num_joints=cfg.dataset_config.joint_num,
+            origin_joint_id=cfg.dataset_config.origin_joint_id,
+        )
+
+
+@METHODS.register
+class P2RNet(nn.Module):
+    config: P2RNetConfig = P2RNetConfig()
+
+    def setup(self):
+        c = self.config
+        self.backbone = STGCN(
+            n_seeds=c.num_seeds,
+            num_frames=c.num_frames,
+            origin_joint_id=c.origin_joint_id,
+            num_joints=c.num_joints,
+            seed_sampling=c.seed_sampling,
+            name="backbone",
+        )
+        self.centervoting = CenterVote(
+            origin_joint_id=c.origin_joint_id,
+            vote_factor=c.vote_factor,
+            name="centervoting",
+        )
+        self.detection = ProposalNet(
+            num_class=c.num_class,
+            num_proposals=c.num_proposals,
+            sampling=c.cluster_sampling,
+            num_gaussian=c.num_gaussian,
+            name="detection",
+        )
+
+    def _trunk(self, input_joints, train):
+        end_points = self.backbone(input_joints, train=train)
+        xyz, features = self.centervoting(
+            end_points["seed_skeleton"], end_points["seed_features"], train=train
+        )
+        norm = jnp.linalg.norm(features, axis=2, keepdims=True)
+        features = features / jnp.maximum(norm, 1e-12)
+        end_points["vote_xyz"] = xyz
+        end_points["vote_features"] = features
+        return end_points, xyz, features
+
+    def __call__(self, input_joints, train: bool = False):
+        """Training forward pass. input_joints: (B, T, V, 3)."""
+        end_points, xyz, features = self._trunk(input_joints, train)
+        rng = self.make_rng("mdn")
+        return self.detection(
+            xyz, features, end_points, train=train, generate=False, rng=rng
+        )
+
+    def generate(self, input_joints, multi_mode: bool = False, n_samples: int = 1):
+        """Deterministic (or multi-mode sampled) eval forward pass."""
+        end_points, xyz, features = self._trunk(input_joints, train=False)
+        rng = self.make_rng("mdn") if multi_mode else None
+        return self.detection(
+            xyz,
+            features,
+            end_points,
+            train=False,
+            generate=True,
+            multi_mode=multi_mode,
+            n_samples=n_samples,
+            rng=rng,
+        )

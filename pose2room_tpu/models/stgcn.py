@@ -1,0 +1,145 @@
+"""ST-GCN pose backbone: encode a (B,T,53,3) skeleton clip into seed features.
+
+Capability parity with reference models/p2rnet/modules/stgcn.py:12-152:
+* seed selection — fixed linspace when n_seeds >= n_frames, else 'random'
+  sort-sample or 'uniform' arc-length resampling of the hip trajectory
+  (stgcn.py:90-103), expressed as fixed-shape vectorized ops;
+* hip-relative joint features through a 3-layer 1x1 conv (sk_feat);
+* temporal-window (knn=20) relative-position embedding of the hip trajectory
+  through a 3-layer 1x1 conv, mean-pooled over the window (stgcn.py:109-121);
+* 6 ST-GCN blocks with per-layer learnable edge-importance multipliers;
+* joint-flatten 1x1 conv to 256-d per-frame features, gathered at seeds.
+
+TPU notes: everything is channels-last; the window gather uses a static
+(T, knn) index table folded into the jit; the graph conv contraction is an
+einsum onto the MXU with the (K,V,V) adjacency baked as a constant.
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose2room_tpu.models.graph import build_spatial_graph
+from pose2room_tpu.models.layers import MLP1x1, STGCNBlock
+
+
+def arc_length_seed_inds(origin_traj, n_seeds):
+    """Uniform-arc-length resampling of a trajectory.
+
+    origin_traj: (B, T, 3) hip positions.  Returns (B, n_seeds) int32 frame
+    indices such that cumulative movement distance is evenly covered
+    (reference stgcn.py:96-101: argmin |cum_dist - target| per target).
+    """
+    movement = jnp.linalg.norm(jnp.diff(origin_traj, axis=1), axis=2)  # (B,T-1)
+    zeros = jnp.zeros((origin_traj.shape[0], 1), dtype=movement.dtype)
+    cum = jnp.cumsum(jnp.concatenate([zeros, movement], axis=1), axis=1)  # (B,T)
+    step = cum[:, -1] / (n_seeds - 1)
+    target = step[:, None] * jnp.arange(n_seeds, dtype=cum.dtype)  # (B,S)
+    return jnp.argmin(
+        jnp.abs(cum[:, :, None] - target[:, None, :]), axis=1
+    ).astype(jnp.int32)
+
+
+def window_index_table(n_frames, knn):
+    """Static (T, knn) clamped temporal-window indices (stgcn.py:109-114)."""
+    idx = np.arange(n_frames)[:, None] + np.arange(-(knn // 2), knn // 2)[None, :]
+    return np.clip(idx, 0, n_frames - 1).astype(np.int32)
+
+
+class STGCN(nn.Module):
+    n_seeds: int = 512
+    num_frames: int = 768
+    origin_joint_id: int = 0
+    num_joints: int = 53
+    seed_sampling: str = "uniform"
+    knn: int = 20
+    in_channels: int = 64
+    out_joint_channels: int = 64
+    out_channels: int = 256
+    max_hop: int = 5
+
+    def setup(self):
+        self.A = jnp.asarray(
+            build_spatial_graph(self.num_joints, max_hop=self.max_hop)
+        )  # (K, V, V)
+        K = self.A.shape[0]
+        self.pos_embed = MLP1x1([64, 64, self.in_channels], name="pos_embed")
+        self.sk_feat = MLP1x1([64, 64, self.in_channels], name="sk_feat")
+        blocks = []
+        channels = [64, 64, 64, 64, 64, self.out_joint_channels]
+        for i, ch in enumerate(channels):
+            blocks.append(
+                STGCNBlock(
+                    out_channels=ch,
+                    spatial_kernel_size=K,
+                    residual=(i != 0),
+                    name=f"gcn{i}",
+                )
+            )
+        self.blocks = blocks
+        self.edge_importance = [
+            self.param(f"edge_importance{i}", nn.initializers.ones, self.A.shape)
+            for i in range(len(blocks))
+        ]
+        self.conv_joint = nn.Dense(self.out_channels, name="conv_joint")
+        self._window_idx = jnp.asarray(window_index_table(self.num_frames, self.knn))
+
+    def __call__(self, input_joints, train: bool = False):
+        """input_joints: (B, T, V, 3) -> dict of seed tensors."""
+        B, T, V, _ = input_joints.shape
+        origin = input_joints[:, :, self.origin_joint_id, :3]  # (B,T,3)
+
+        # ---- seed indices ----
+        if self.n_seeds >= T:
+            seed_inds = jnp.broadcast_to(
+                jnp.round(jnp.linspace(0, T - 1, self.n_seeds)).astype(jnp.int32),
+                (B, self.n_seeds),
+            )
+        elif self.seed_sampling == "uniform":
+            seed_inds = arc_length_seed_inds(origin, self.n_seeds)
+        elif self.seed_sampling == "random":
+            rng = self.make_rng("sampling")
+            scores = jax.random.uniform(rng, (B, T))
+            seed_inds = jnp.sort(
+                jnp.argsort(scores, axis=1)[:, : self.n_seeds], axis=1
+            ).astype(jnp.int32)
+        else:
+            raise NotImplementedError(self.seed_sampling)
+
+        # ---- hip-relative joint features ----
+        x = input_joints - input_joints[:, :, self.origin_joint_id : self.origin_joint_id + 1]
+
+        # temporal-window relative-position embedding of the hip trajectory
+        widx = self._window_idx  # (T, knn)
+        neigh = origin[:, widx, :]  # (B,T,knn,3)
+        rel = neigh - origin[:, :, None, :]
+        pos = self.pos_embed(rel, train=train)  # (B,T,knn,C)
+        pos = jnp.mean(pos, axis=2)  # (B,T,C)
+
+        feat = self.sk_feat(x, train=train)  # (B,T,V,C)
+        h = feat + pos[:, :, None, :]
+
+        for block, importance in zip(self.blocks, self.edge_importance):
+            h = block(h, self.A * importance, train=train)
+
+        # flatten joints -> per-frame features. NOTE channel order is (v, c)
+        # here vs the reference's (c, v) (stgcn.py:137-138) — a weight
+        # converter must permute conv_joint accordingly.
+        h = h.reshape(B, T, V * h.shape[-1])
+        frame_feat = self.conv_joint(h)  # (B,T,256)
+
+        seed_skeleton = jnp.take_along_axis(
+            input_joints[..., :3], seed_inds[:, :, None, None], axis=1
+        )  # (B,S,V,3)
+        seed_features = jnp.take_along_axis(
+            frame_feat, seed_inds[:, :, None], axis=1
+        )  # (B,S,256)
+
+        return {
+            "seed_inds": seed_inds,
+            "seed_skeleton": seed_skeleton,
+            "seed_features": seed_features,
+        }
