@@ -1,0 +1,191 @@
+"""VirtualHome HDF5 sample reading + train-time augmentation.
+
+Format parity with reference models/p2rnet/dataloader.py:17-147:
+* HDF5 layout: ``skeleton_joints`` (F,53,3), ``skeleton_joint_votes``
+  (F,53,10) [mask + 3 centroid-offset votes], ``object_nodes/<i>/{class_id,
+  centroid, R_mat, size}``;
+* train augmentation (dataloader.py:31-80): random x<->z flip, rotation in
+  {-pi, -pi/2, 0, pi/2}, xz translation offset in [-1, 1] — applied
+  consistently to joints, votes and boxes;
+* output dict (same key names/shapes/dtypes): input_joints (T,53,3),
+  box_label_mask (10,), sem_cls_label (10,) int, center_label (10,3),
+  size (10,3) [LOG-space], heading (10,2) [(sin,cos)], vote_label (T,53,9),
+  vote_label_mask (T,53) int, sample_idx str;
+* frames resampled to T=num_frames via np.linspace(...).round() indexing.
+
+This runs on host numpy (the loader's worker threads); the device only ever
+sees fixed-shape float32/int32 batches.
+"""
+
+import json
+import os
+
+import numpy as np
+
+from pose2room_tpu.ops.boxes import rot2head
+
+FLIP_MATRIX = np.array([[0, 0, 1], [0, 1, 0], [1, 0, 0]], dtype=np.float64)
+
+
+def _rot_y(theta):
+    return np.array(
+        [
+            [np.cos(theta), 0.0, -np.sin(theta)],
+            [0.0, 1.0, 0.0],
+            [np.sin(theta), 0.0, np.cos(theta)],
+        ]
+    )
+
+
+def load_sample(path):
+    """Read one HDF5 sample into (joints, votes, instances)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        joints = f["skeleton_joints"][:]
+        votes = f["skeleton_joint_votes"][:]
+        instances = []
+        for key in f["object_nodes"].keys():
+            node = f["object_nodes"][key]
+            instances.append(
+                {
+                    "class_id": int(np.asarray(node["class_id"]).reshape(-1)[0]),
+                    "centroid": node["centroid"][:].astype(np.float64),
+                    "R_mat": node["R_mat"][:].astype(np.float64),
+                    "size": node["size"][:].astype(np.float64),
+                }
+            )
+    return joints.astype(np.float64), votes.astype(np.float64), instances
+
+
+def augment_sample(joints, instances, votes, rng):
+    """Random flip / rotate / translate, mirroring dataloader.py:31-80."""
+    if_flip = rng.randint(0, 2)
+    rot_angle = rng.choice([-np.pi, -0.5 * np.pi, 0.0, 0.5 * np.pi])
+    offset = np.array([1.0, 0.0, 1.0]) * rng.uniform(-1.0, 1.0)
+    rot_mat = _rot_y(rot_angle)
+    n_frames, n_joints = votes.shape[:2]
+
+    if if_flip:
+        joints = joints @ FLIP_MATRIX
+        v = votes[..., 1:].reshape(n_frames, n_joints, 3, 3) @ FLIP_MATRIX
+        votes[..., 1:] = v.reshape(n_frames, n_joints, 9)
+        for node in instances:
+            node["centroid"] = node["centroid"] @ FLIP_MATRIX
+            R = node["R_mat"] @ FLIP_MATRIX
+            R[2] = np.cross(R[0], R[1])
+            node["R_mat"] = R
+
+    # rotate: votes are centroid offsets — rotate the absolute endpoints
+    ends = np.zeros_like(votes)
+    for k in range(3):
+        sl = slice(1 + 3 * k, 4 + 3 * k)
+        ends[..., sl] = (joints[..., 0:3] + votes[..., sl]) @ rot_mat
+    joints = joints @ rot_mat
+    for k in range(3):
+        sl = slice(1 + 3 * k, 4 + 3 * k)
+        votes[..., sl] = ends[..., sl] - joints[..., 0:3]
+    for node in instances:
+        node["centroid"] = node["centroid"] @ rot_mat
+        node["R_mat"] = node["R_mat"] @ rot_mat
+
+    joints = joints + offset
+    for node in instances:
+        node["centroid"] = node["centroid"] + offset
+    return joints, instances, votes
+
+
+class P2RNetDataset:
+    """Split-file-backed dataset yielding reference-format sample dicts."""
+
+    def __init__(
+        self,
+        split_file,
+        num_frames=768,
+        max_gt_boxes=10,
+        augment=False,
+        use_height=False,
+        root=None,
+    ):
+        with open(split_file) as f:
+            self.paths = json.load(f)
+        if root is not None:
+            self.paths = [os.path.join(root, p) for p in self.paths]
+        self.num_frames = num_frames
+        self.max_gt_boxes = max_gt_boxes
+        self.augment = augment
+        self.use_height = use_height
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx, rng=None):
+        path = self.paths[idx]
+        joints, votes, instances = load_sample(path)
+        if self.augment:
+            rng = rng or np.random
+            joints, instances, votes = augment_sample(joints, instances, votes, rng)
+
+        boxes3D, classes = [], []
+        for inst in instances:
+            heading = rot2head(inst["R_mat"], xp=np)
+            boxes3D.append(
+                np.hstack(
+                    [
+                        inst["centroid"],
+                        np.log(inst["size"]),
+                        [np.sin(heading), np.cos(heading)],
+                    ]
+                )
+            )
+            classes.append(inst["class_id"])
+        boxes3D = np.array(boxes3D).reshape(-1, 8)
+
+        if self.use_height:
+            floor = np.percentile(joints[..., 1], 0.99)
+            height = joints[..., 1] - floor
+            joints = np.concatenate([joints, height[..., None]], axis=-1)
+
+        K = self.max_gt_boxes
+        mask = np.zeros(K, dtype=np.float32)
+        semcls = np.zeros(K, dtype=np.int64)
+        centers = np.zeros((K, 3), dtype=np.float32)
+        sizes = np.zeros((K, 3), dtype=np.float32)
+        headings = np.zeros((K, 2), dtype=np.float32)
+        n = min(len(boxes3D), K)
+        if n:
+            mask[:n] = 1
+            semcls[:n] = classes[:n]
+            centers[:n] = boxes3D[:n, 0:3]
+            sizes[:n] = boxes3D[:n, 3:6]
+            headings[:n] = boxes3D[:n, 6:8]
+
+        frame_ids = (
+            np.linspace(0, joints.shape[0] - 1, self.num_frames).round().astype(np.int64)
+        )
+        input_joints = joints[frame_ids]
+        input_votes = votes[frame_ids, :, 1:]
+        votes_mask = votes[frame_ids, :, 0]
+
+        return {
+            "input_joints": input_joints.astype(np.float32),
+            "box_label_mask": mask,
+            "sem_cls_label": semcls,
+            "center_label": centers,
+            "size": sizes,
+            "heading": headings,
+            "vote_label": input_votes.astype(np.float32),
+            "vote_label_mask": votes_mask.astype(np.int64),
+            "sample_idx": os.path.splitext(os.path.basename(path))[0],
+        }
+
+
+def load_demo_clip(path, num_frames=768, use_height=False):
+    """Load a raw (F,53,3) .npy pose clip the way demo.py:23-51 does."""
+    joints = np.load(path)
+    if use_height:
+        floor = np.percentile(joints[..., 1], 0.99)
+        height = joints[..., 1] - floor
+        joints = np.concatenate([joints, height[..., None]], axis=-1)
+    frame_ids = np.linspace(0, joints.shape[0] - 1, num_frames).round().astype(np.int64)
+    return joints[frame_ids].astype(np.float32)

@@ -238,16 +238,22 @@ def _shoelace(poly, valid, xp):
 
 
 def convex_quad_intersection_area(rect1, rect2, xp=None):
-    """Intersection area of two convex quads (...,4,2), CCW order, batched."""
+    """Intersection area of two convex quads (...,4,2), CCW order, batched.
+
+    Leading dims of rect1/rect2 broadcast against each other.
+    """
     xp = xp or _np_of(rect1)
+    lead = tuple(np.broadcast_shapes(rect1.shape[:-2], rect2.shape[:-2]))
+    rect1 = xp.broadcast_to(rect1, lead + rect1.shape[-2:])
+    rect2 = xp.broadcast_to(rect2, lead + rect2.shape[-2:])
     P = 8  # max vertices of quad∩quad
     poly = xp.concatenate(
-        [rect1, xp.zeros(rect1.shape[:-2] + (P - 4, 2), dtype=rect1.dtype)], axis=-2
+        [rect1, xp.zeros(lead + (P - 4, 2), dtype=rect1.dtype)], axis=-2
     )
     valid = xp.concatenate(
         [
-            xp.ones(rect1.shape[:-2] + (4,), dtype=bool),
-            xp.zeros(rect1.shape[:-2] + (P - 4,), dtype=bool),
+            xp.ones(lead + (4,), dtype=bool),
+            xp.zeros(lead + (P - 4,), dtype=bool),
         ],
         axis=-1,
     )
