@@ -1,0 +1,7 @@
+from pose2room_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    batch_sharding,
+    replicated_sharding,
+)

@@ -1,0 +1,67 @@
+"""Demo orchestrator: raw .npy pose clip -> predicted boxes (reference demo.py).
+
+Headless: predictions are dumped as .npz / .json / .ply (see utils/vis.py)
+instead of opening a VTK window; the file formats match the reference's dump
+path so its viewers can render them.
+"""
+
+import glob
+import os
+
+import numpy as np
+
+from pose2room_tpu.data.dataset import load_demo_clip
+from pose2room_tpu.eval import parse_predictions, assembly_pred_map_cls
+from pose2room_tpu.runners.common import setup
+from pose2room_tpu.train.step import make_generate_fn
+from pose2room_tpu.utils.vis import dump_predictions, write_ply_boxes, write_ply_points
+
+
+def run(cfg):
+    model, state, _, _, mesh, _, _, _ = setup(cfg, "demo")
+    demo_path = cfg.config.get("demo_path", "demo")
+    inputs = sorted(glob.glob(os.path.join(demo_path, "inputs", "*.npy")))
+    if not inputs:
+        inputs = sorted(glob.glob(os.path.join(demo_path, "*.npy")))
+    if not inputs:
+        cfg.log_string(f"No demo .npy inputs under {demo_path}")
+        return []
+
+    data_cfg = cfg.config["data"]
+    generate = make_generate_fn(model)
+    results = []
+    for path in inputs:
+        joints = load_demo_clip(
+            path,
+            num_frames=data_cfg.get("num_frames", 768),
+            use_height=not data_cfg.get("no_height", True),
+        )[None]  # (1,T,V,3)
+        end_points = generate(state, joints)
+        eval_dict, parsed = parse_predictions(
+            end_points, {"input_joints": joints}, cfg.eval_config
+        )
+        eval_dict = assembly_pred_map_cls(eval_dict, parsed, cfg.eval_config)
+
+        name = os.path.splitext(os.path.basename(path))[0]
+        dump_dir = os.path.join(cfg.config["log"]["vis_path"], f"demo_{name}")
+        dump_threshold = cfg.config.get("generation", {}).get("dump_threshold", 0.5)
+        dump_predictions(
+            dump_dir, end_points, eval_dict, parsed, dump_threshold=dump_threshold
+        )
+        # headless visualization artifacts
+        npz = os.path.join(dump_dir, "000000_pred_confident_nms_bbox.npz")
+        if os.path.isfile(npz):
+            data = np.load(npz)
+            write_ply_boxes(data["obbs"], os.path.join(dump_dir, "pred_boxes.ply"))
+        write_ply_points(
+            joints[0, :: max(1, joints.shape[1] // 64)].reshape(-1, 3),
+            os.path.join(dump_dir, "skeleton_points.ply"),
+        )
+        n_boxes = int(
+            np.logical_and(
+                parsed["obj_prob"][0] > dump_threshold, eval_dict["pred_mask"][0] == 1
+            ).sum()
+        )
+        cfg.log_string(f"{path}: {n_boxes} confident boxes -> {dump_dir}")
+        results.append((path, dump_dir, n_boxes))
+    return results

@@ -1,0 +1,97 @@
+"""Test orchestrator: mAP evaluation (reference test.py + test_epoch.py)."""
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from pose2room_tpu.data import P2RNetDataset, DataLoader
+from pose2room_tpu.eval import (
+    APCalculator,
+    parse_predictions,
+    parse_groundtruths,
+    assembly_pred_map_cls,
+    assembly_gt_map_cls,
+)
+from pose2room_tpu.models.loss import detection_loss
+from pose2room_tpu.runners.common import setup
+from pose2room_tpu.train.step import make_generate_fn
+from pose2room_tpu.utils.logger import LossRecorder
+from pose2room_tpu.utils.vis import dump_predictions
+
+
+def run(cfg):
+    model, state, _, _, mesh, _, _, _ = setup(cfg, "test")
+    data_cfg = cfg.config["data"]
+    split_file = os.path.join(data_cfg["split"], "test.json")
+    ds = P2RNetDataset(
+        split_file,
+        num_frames=data_cfg.get("num_frames", 768),
+        max_gt_boxes=data_cfg.get("max_gt_boxes", 10),
+        augment=False,
+        use_height=not data_cfg.get("no_height", True),
+    )
+    loader = DataLoader(
+        ds,
+        batch_size=cfg.config["test"].get("batch_size", 1),
+        shuffle=False,
+        num_workers=cfg.config.get("device", {}).get("num_workers", 8) or 0,
+    )
+    cfg.log_string(f"{len(ds)} test samples")
+
+    generate = make_generate_fn(model)
+    thresholds = cfg.config["test"].get("ap_iou_thresholds", [0.25, 0.5])
+    ap_calculators = {
+        t: APCalculator(t, cfg.dataset_config.class2type) for t in thresholds
+    }
+    recorder = LossRecorder(loader.batch_size)
+    dump = cfg.config.get("generation", {}).get("dump_results", False)
+    dump_threshold = cfg.config.get("generation", {}).get("dump_threshold", 0.5)
+
+    start = time.time()
+    for it, batch in enumerate(loader):
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        t0 = time.time()
+        end_points = generate(state, arrays["input_joints"])
+        eval_dict, parsed = parse_predictions(end_points, arrays, cfg.eval_config)
+        eval_dict = assembly_pred_map_cls(eval_dict, parsed, cfg.eval_config)
+        parsed_gts = parse_groundtruths(arrays)
+        gt_map = assembly_gt_map_cls(parsed_gts)
+        losses = detection_loss(
+            {k: v for k, v in end_points.items() if k != "pi"},
+            {
+                k: arrays[k]
+                for k in (
+                    "center_label", "box_label_mask", "size", "heading",
+                    "sem_cls_label", "vote_label", "vote_label_mask",
+                )
+            },
+            cfg.dataset_config.origin_joint_id,
+        )
+        recorder.update_loss({k: float(v) for k, v in losses.items()})
+        for t in thresholds:
+            ap_calculators[t].step(eval_dict["batch_pred_map_cls"], gt_map)
+        cfg.log_string(
+            f"Test batch {it + 1}/{len(loader)}: {time.time() - t0:.3f}s"
+        )
+        if dump and cfg.is_main_process:
+            dump_dir = os.path.join(
+                cfg.config["log"]["vis_path"],
+                f"test_{it}_{batch['sample_idx'][0]}",
+            )
+            dump_predictions(
+                dump_dir, end_points, eval_dict, parsed,
+                gt_data=arrays, dump_threshold=dump_threshold,
+            )
+
+    cfg.log_string(f"Test total elapsed: {time.time() - start:.2f}s")
+    cfg.log_string(f"Mean losses: {recorder.means()}")
+    metrics_all = {}
+    for t, calc in ap_calculators.items():
+        cfg.log_string(f"---------- iou_thresh: {t} ----------")
+        metrics = calc.compute_metrics()
+        for k, v in metrics.items():
+            cfg.log_string(f"eval {k}: {v}")
+        metrics_all[t] = metrics
+    return metrics_all

@@ -1,0 +1,118 @@
+"""Epoch-level training loop: train+val phases, logging, best/last checkpoints.
+
+Parity with reference train_epoch.py:8-105: per-epoch train and val phases
+with running loss means, console logging every ``print_step``, LR schedule
+stepped per epoch, ``model_last_<e>`` every ``save_weight_step`` epochs and
+``model_best`` on val-loss improvement.
+"""
+
+import time
+
+import jax
+import numpy as np
+
+from pose2room_tpu.parallel import shard_batch
+from pose2room_tpu.train.state import epoch_lr, set_learning_rate
+from pose2room_tpu.utils.logger import LossRecorder, LogBoard
+
+
+def run_epoch(
+    phase,
+    epoch,
+    loader,
+    state,
+    step_fn,
+    mesh,
+    rng_key,
+    log_fn,
+    print_step=10,
+    board=None,
+):
+    recorder = LossRecorder(loader.batch_size)
+    loader.set_epoch(epoch)
+    n_batches = len(loader)
+    for it, batch in enumerate(loader):
+        batch = {k: v for k, v in batch.items() if k != "sample_idx"}
+        batch = shard_batch(batch, mesh)
+        rng = jax.random.fold_in(rng_key, epoch * 100000 + it)
+        if phase == "train":
+            state, losses = step_fn(state, batch, rng)
+        else:
+            losses = step_fn(state, batch, rng)
+        losses = {k: float(v) for k, v in losses.items()}
+        recorder.update_loss(losses)
+        if (it % print_step) == 0:
+            log_fn(
+                f"Process: Phase: {phase}. Epoch {epoch}: {it}/{n_batches}. "
+                f"Current loss: {dict((k, round(v, 5)) for k, v in losses.items())}."
+            )
+        if board is not None:
+            board.update(losses, int(state.step), phase)
+    return state, recorder
+
+
+def train(
+    cfg,
+    model,
+    state,
+    tx,
+    adamw_index,
+    train_loader,
+    val_loader,
+    checkpoint,
+    mesh,
+    start_epoch=0,
+    min_loss=float("inf"),
+):
+    """Full training run. Returns the final state."""
+    from pose2room_tpu.train.step import make_train_step, make_eval_step
+
+    log = cfg.log_string
+    origin = cfg.dataset_config.origin_joint_id
+    train_step = make_train_step(model, tx, origin)
+    eval_step = make_eval_step(model, origin)
+
+    total_epochs = cfg.config["train"]["epochs"]
+    sched = cfg.config.get("scheduler", {})
+    milestones = sched.get("milestones", [])
+    gamma = sched.get("gamma", 0.1)
+    base_lr = float(cfg.config.get("optimizer", {}).get("lr", 1e-3))
+    log_cfg = cfg.config.get("log", {})
+    print_step = log_cfg.get("print_step", 10)
+    save_weight_step = log_cfg.get("save_weight_step", 50)
+    board = LogBoard(enabled=cfg.is_main_process)
+
+    seed = cfg.config.get("seed", 42)
+    rng_key = jax.random.fold_in(jax.random.PRNGKey(seed), jax.process_index())
+
+    for epoch in range(start_epoch, total_epochs):
+        lr = epoch_lr(base_lr, milestones, gamma, epoch)
+        state = state.replace(
+            opt_state=set_learning_rate(state.opt_state, lr, adamw_index)
+        )
+        log(f"-- Epoch {epoch + 1}/{total_epochs}; lr = {lr:.6g} --")
+        start = time.time()
+
+        state, train_rec = run_epoch(
+            "train", epoch, train_loader, state, train_step, mesh,
+            rng_key, log, print_step, board,
+        )
+        _, val_rec = run_epoch(
+            "val", epoch, val_loader, state, eval_step, mesh,
+            rng_key, log, print_step, board,
+        )
+        log(f"Epoch {epoch + 1} elapsed: {time.time() - start:.2f}s")
+        for phase, rec in (("train", train_rec), ("val", val_rec)):
+            log(f"Epoch {epoch + 1} mean {phase} losses: "
+                f"{dict((k, round(v, 5)) for k, v in rec.means().items())}")
+
+        eval_loss = val_rec.means().get("total", float("inf"))
+        if ((epoch + 1) % save_weight_step) == 0:
+            checkpoint.save(f"last_{epoch + 1}", state, epoch + 1, min_loss)
+        if eval_loss < min_loss:
+            min_loss = eval_loss
+            checkpoint.save("best", state, epoch + 1, min_loss)
+            log(f"Best VAL loss so far: {min_loss:.5f}")
+    checkpoint.save("final", state, total_epochs, min_loss)
+    board.close()
+    return state

@@ -1,0 +1,97 @@
+"""Jitted train/eval steps.
+
+The whole reference hot loop (models/training.py:25-43 ->
+p2rnet/training.py:100-121 -> loss.py:152) collapses into one compiled XLA
+program per step: forward, loss, backward, AdamW update, metric means.  With
+the batch sharded over the ('data',) mesh and params replicated, XLA inserts
+the gradient all-reduce (the DDP equivalent) and the metric means are global
+automatically.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from pose2room_tpu.models.loss import detection_loss
+from pose2room_tpu.train.state import TrainState
+
+GT_KEYS = (
+    "center_label",
+    "box_label_mask",
+    "size",
+    "heading",
+    "sem_cls_label",
+    "vote_label",
+    "vote_label_mask",
+)
+
+
+def _gt_arrays(batch):
+    return {k: batch[k] for k in GT_KEYS if k in batch}
+
+
+def make_train_step(model, tx, origin_joint_id=0):
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        gt = _gt_arrays(batch)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["input_joints"],
+                train=True,
+                rngs={"mdn": rng},
+                mutable=["batch_stats"],
+            )
+            losses = detection_loss(out, gt, origin_joint_id)
+            return losses["total"], (losses, mut["batch_stats"])
+
+        (_, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        import optax
+
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(model, origin_joint_id=0):
+    """Validation loss step: forward (train-path MDN sampling disabled batch
+    stats update; running averages used) + loss."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch, rng):
+        gt = _gt_arrays(batch)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["input_joints"],
+            train=False,
+            rngs={"mdn": rng},
+        )
+        return detection_loss(out, gt, origin_joint_id)
+
+    return eval_step
+
+
+def make_generate_fn(model):
+    """Jitted deterministic inference returning the full end_points dict."""
+
+    @jax.jit
+    def generate(state: TrainState, input_joints):
+        from pose2room_tpu.models.p2rnet import P2RNet
+
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            input_joints,
+            method=P2RNet.generate,
+        )
+
+    return generate

@@ -1,0 +1,123 @@
+"""End-to-end runner tests: train -> checkpoint -> test(mAP) -> demo dumps.
+
+Exercises the full public surface (CONFIG + runners) on a synthetic
+reference-format dataset with a tiny model, all on the CPU mesh.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pose2room_tpu.config import CONFIG
+from pose2room_tpu.data import write_synthetic_dataset
+
+
+def _tiny_config(root, split_dir, mode, weight=None):
+    cfg_dict = {
+        "method": "P2RNet",
+        "resume": False,
+        "finetune": weight is not None,
+        "weight": [weight] if weight else [],
+        "seed": 42,
+        "mode": mode,
+        "device": {"num_workers": 0},
+        "data": {
+            "dataset": "virtualhome",
+            "split": split_dir,
+            "num_frames": 64,
+            "num_seeds": 32,
+            "seed_sampling": "uniform",
+            "max_gt_boxes": 10,
+            "num_target": 8,
+            "vote_factor": 1,
+            "cluster_sampling": "vote_fps",
+            "no_height": True,
+            "num_gaussian": 8,
+        },
+        "model": {
+            "backbone": {"method": "STGCN", "loss": "Null"},
+            "centervoting": {"method": "CenterVoteModule", "loss": "Null"},
+            "detection": {"method": "ProposalNet", "loss": "BoxNetDetectionLoss"},
+        },
+        "optimizer": {"method": "Adam", "lr": 1e-3, "betas": [0.9, 0.999],
+                      "eps": 1e-8, "weight_decay": 0, "clip_norm": -1},
+        "scheduler": {"milestones": [1], "gamma": 0.1},
+        "train": {"epochs": 2, "phase": "full", "freeze": [], "batch_size": 2},
+        "val": {"phase": "full", "batch_size": 2},
+        "test": {
+            "phase": "full", "batch_size": 1, "use_cls_nms": False,
+            "use_3d_nms": True, "ap_iou_thresholds": [0.25, 0.5],
+            "remove_far_box": True, "nms_iou": 0.10, "use_old_type_nms": False,
+            "per_class_proposal": True, "conf_thresh": 0.05, "multi_mode": False,
+            "sample_cls": False,
+        },
+        "generation": {"dump_results": True, "dump_threshold": 0.05},
+        "demo": {"phase": "full"},
+        "log": {
+            "vis_path": "visualization", "save_weight_step": 1,
+            "save_results": True, "vis_step": 10, "print_step": 5,
+            "path": os.path.join(root, "out"),
+        },
+    }
+    return CONFIG(args={"mode": mode}, config=cfg_dict)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    write_synthetic_dataset(
+        os.path.join(root, "dataset"), n_train=4, n_test=2, n_frames=80
+    )
+    split_dir = os.path.join(root, "dataset", "splits", "script_level")
+    return root, split_dir
+
+
+def test_train_then_test_then_demo(workspace):
+    root, split_dir = workspace
+
+    # ---- train ----
+    from pose2room_tpu.runners import train as train_runner
+
+    cfg = _tiny_config(root, split_dir, "train")
+    state = train_runner.run(cfg)
+    ckpts = glob.glob(os.path.join(cfg.save_path, "model_*"))
+    assert any("model_final" in c for c in ckpts)
+    assert any("model_best" in c for c in ckpts)
+    best = os.path.join(cfg.save_path, "model_best")
+
+    # log file written
+    log_txt = os.path.join(cfg.save_path, "log.txt")
+    assert os.path.isfile(log_txt)
+
+    # ---- test (finetune-load the trained weights) ----
+    from pose2room_tpu.runners import test as test_runner
+
+    cfg_t = _tiny_config(root, split_dir, "test", weight=best)
+    metrics = test_runner.run(cfg_t)
+    assert set(metrics.keys()) == {0.25, 0.5}
+    for t, m in metrics.items():
+        assert "mAP" in m and np.isfinite(m["mAP"])
+        assert "AR" in m
+    # dumps: GT boxes exist for each test sample
+    dumps = glob.glob(os.path.join(cfg_t.config["log"]["vis_path"], "test_*"))
+    assert len(dumps) == 2
+
+    # ---- demo ----
+    from pose2room_tpu.runners import demo as demo_runner
+
+    demo_dir = os.path.join(root, "demo", "inputs")
+    os.makedirs(demo_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    clip = rng.randn(50, 53, 3).astype(np.float32) * 0.1
+    clip[:, :, 0] += np.linspace(0, 2, 50)[:, None]
+    np.save(os.path.join(demo_dir, "input_joints_1.npy"), clip)
+
+    cfg_d = _tiny_config(root, split_dir, "demo", weight=best)
+    cfg_d.config["demo_path"] = os.path.join(root, "demo")
+    results = demo_runner.run(cfg_d)
+    assert len(results) == 1
+    _, dump_dir, _ = results[0]
+    assert os.path.isfile(os.path.join(dump_dir, "skeleton_points.ply"))
