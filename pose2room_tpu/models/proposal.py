@@ -42,8 +42,10 @@ class ProposalNet(nn.Module):
     gmm_dim: int = 128
 
     def setup(self):
+        # reference mlp spec [256,256,256] INCLUDES the input dim -> 2 layers
+        # (pointnet2_modules.py:build_shared_mlp iterates transitions)
         self.sa_mlp = MLP1x1(
-            [256, 256, self.feature_dim], use_bn=False, final_plain=False, name="sa_mlp"
+            [256, self.feature_dim], use_bn=False, final_plain=False, name="sa_mlp"
         )
         self.conv_center = MLP1x1([128, self.gmm_dim], final_plain=False, name="conv_center")
         self.conv_heading = MLP1x1([128, self.gmm_dim], final_plain=False, name="conv_heading")
