@@ -71,7 +71,11 @@ def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False):
     BB = BB[sorted_ind, ...] if len(BB) else BB
     image_ids = [image_ids[x] for x in sorted_ind]
 
-    # vectorized IoU: for each scan, one (n_det_scan, n_gt_scan) matrix
+    # vectorized IoU: for each scan, one (n_det_scan, n_gt_scan) matrix —
+    # native C++ kernel when available, batched numpy clipper otherwise
+    from pose2room_tpu import native
+
+    use_native = native.available()
     iou_cache = {}
     for img_id in set(image_ids):
         det_idx = [d for d, x in enumerate(image_ids) if x == img_id]
@@ -79,9 +83,12 @@ def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False):
         if BBGT.size == 0 or not det_idx:
             continue
         dets = BB[det_idx]  # (nd,8,3)
-        iou, _ = box3d_iou_oriented(
-            dets[:, None, :, :], BBGT[None, :, :, :], xp=np
-        )  # (nd, ngt)
+        if use_native:
+            iou = native.oriented_iou_matrix(dets, BBGT)
+        else:
+            iou, _ = box3d_iou_oriented(
+                dets[:, None, :, :], BBGT[None, :, :, :], xp=np
+            )  # (nd, ngt)
         iou_cache[img_id] = (det_idx, iou)
 
     nd = len(image_ids)

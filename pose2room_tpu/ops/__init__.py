@@ -11,3 +11,4 @@ from pose2room_tpu.ops.boxes import (
     points_in_obb,
 )
 from pose2room_tpu.ops.nms import nms_axis_aligned, nms_2d_faster, nms_3d_faster, nms_3d_faster_samecls
+from pose2room_tpu.ops.interpolate import three_nn, three_interpolate, interpolate_features

@@ -49,7 +49,7 @@ def build_model(cfg):
 
 
 def setup(cfg, mode):
-    """Returns (model, state, tx, adamw_index, mesh, checkpoint, start_epoch, min_loss)."""
+    """Returns (model, state, tx, opt_info, mesh, checkpoint, start_epoch, min_loss)."""
     mount_external_config(cfg)
     model = build_model(cfg)
     mesh = make_mesh()
@@ -57,8 +57,15 @@ def setup(cfg, mode):
     mc = model.config
     sample = np.zeros((1, mc.num_frames, mc.num_joints, 3), dtype=np.float32)
     rng = jax.random.PRNGKey(cfg.config.get("seed", 42))
-    state, tx, adamw_index = create_train_state(
-        model, rng, sample, cfg.config.get("optimizer", {})
+    freeze = tuple(cfg.config.get("train", {}).get("freeze", []) or [])
+    phase_specs = {
+        phase: spec.get("optim_spec")
+        for phase, spec in cfg.config.get("model", {}).items()
+        if isinstance(spec, dict) and spec.get("optim_spec")
+    }
+    state, tx, opt_info = create_train_state(
+        model, rng, sample, cfg.config.get("optimizer", {}),
+        freeze=freeze, phase_specs=phase_specs,
     )
 
     checkpoint = CheckpointIO(cfg.save_path, cfg.log_string)
@@ -76,4 +83,4 @@ def setup(cfg, mode):
             state = checkpoint.load_weights(w, state)
 
     state = replicate(state, mesh)
-    return model, state, tx, adamw_index, mesh, checkpoint, start_epoch, min_loss
+    return model, state, tx, opt_info, mesh, checkpoint, start_epoch, min_loss

@@ -40,7 +40,14 @@ def run(cfg):
     )
     cfg.log_string(f"{len(ds)} test samples")
 
-    generate = make_generate_fn(model)
+    multi_mode = cfg.config["test"].get("multi_mode", False)
+    # reference picks a random sample count in [1, 99] per run
+    # (proposal_net.py:58-59)
+    n_samples = int(np.random.choice(np.arange(1, 100))) if multi_mode else 1
+    generate = make_generate_fn(model, multi_mode=multi_mode, n_samples=n_samples)
+    gen_key = jax.random.fold_in(
+        jax.random.PRNGKey(cfg.config.get("seed", 42)), jax.process_index()
+    )
     thresholds = cfg.config["test"].get("ap_iou_thresholds", [0.25, 0.5])
     ap_calculators = {
         t: APCalculator(t, cfg.dataset_config.class2type) for t in thresholds
@@ -53,7 +60,9 @@ def run(cfg):
     for it, batch in enumerate(loader):
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         t0 = time.time()
-        end_points = generate(state, arrays["input_joints"])
+        end_points = generate(
+            state, arrays["input_joints"], jax.random.fold_in(gen_key, it)
+        )
         eval_dict, parsed = parse_predictions(end_points, arrays, cfg.eval_config)
         eval_dict = assembly_pred_map_cls(eval_dict, parsed, cfg.eval_config)
         parsed_gts = parse_groundtruths(arrays)

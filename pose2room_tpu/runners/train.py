@@ -31,7 +31,7 @@ def _make_loader(cfg, mode):
 
 def run(cfg):
     cfg.log_string("Setting up model and device mesh.")
-    model, state, tx, adamw_index, mesh, checkpoint, start_epoch, min_loss = setup(
+    model, state, tx, opt_info, mesh, checkpoint, start_epoch, min_loss = setup(
         cfg, "train"
     )
     cfg.log_string(f"Mesh: {mesh}")
@@ -47,7 +47,7 @@ def run(cfg):
         model,
         state,
         tx,
-        adamw_index,
+        opt_info,
         train_loader,
         val_loader,
         checkpoint,

@@ -12,7 +12,7 @@ import jax
 import numpy as np
 
 from pose2room_tpu.parallel import shard_batch
-from pose2room_tpu.train.state import epoch_lr, set_learning_rate
+from pose2room_tpu.train.state import apply_lr_schedule
 from pose2room_tpu.utils.logger import LossRecorder, LogBoard
 
 
@@ -27,23 +27,33 @@ def run_epoch(
     log_fn,
     print_step=10,
     board=None,
+    profile_ctx=None,
 ):
+    from pose2room_tpu.utils.profiling import StepTimer
+
     recorder = LossRecorder(loader.batch_size)
+    timer = StepTimer()
     loader.set_epoch(epoch)
     n_batches = len(loader)
     for it, batch in enumerate(loader):
         batch = {k: v for k, v in batch.items() if k != "sample_idx"}
         batch = shard_batch(batch, mesh)
         rng = jax.random.fold_in(rng_key, epoch * 100000 + it)
+        if profile_ctx is not None:
+            profile_ctx.maybe_start(int(state.step))
         if phase == "train":
             state, losses = step_fn(state, batch, rng)
         else:
             losses = step_fn(state, batch, rng)
         losses = {k: float(v) for k, v in losses.items()}
+        if profile_ctx is not None:
+            profile_ctx.maybe_stop(int(state.step))
+        timer.tick()
         recorder.update_loss(losses)
         if (it % print_step) == 0:
             log_fn(
                 f"Process: Phase: {phase}. Epoch {epoch}: {it}/{n_batches}. "
+                f"step {timer.mean_ms:.1f}ms. "
                 f"Current loss: {dict((k, round(v, 5)) for k, v in losses.items())}."
             )
         if board is not None:
@@ -51,12 +61,34 @@ def run_epoch(
     return state, recorder
 
 
+class ProfileWindow:
+    """Captures a jax.profiler trace for steps [start, start+n)."""
+
+    def __init__(self, logdir, start_step, n_steps):
+        self.logdir = str(logdir)
+        self.start_step = start_step
+        self.end_step = start_step + n_steps
+        self._active = False
+        self._done = False
+
+    def maybe_start(self, step):
+        if not self._done and not self._active and step >= self.start_step:
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+
+    def maybe_stop(self, step):
+        if self._active and step + 1 >= self.end_step:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+
+
 def train(
     cfg,
     model,
     state,
     tx,
-    adamw_index,
+    opt_info,
     train_loader,
     val_loader,
     checkpoint,
@@ -85,17 +117,27 @@ def train(
     seed = cfg.config.get("seed", 42)
     rng_key = jax.random.fold_in(jax.random.PRNGKey(seed), jax.process_index())
 
+    profile_steps = int(log_cfg.get("profile_steps", 0) or 0)
+    profile_ctx = None
+    if profile_steps > 0 and cfg.is_main_process:
+        import os
+
+        profile_dir = os.path.join(cfg.save_path, "profile")
+        # skip the first (compile) steps; trace steady-state
+        profile_ctx = ProfileWindow(profile_dir, start_step=3, n_steps=profile_steps)
+        log(f"Profiling steps 3..{3 + profile_steps} -> {profile_dir}")
+
     for epoch in range(start_epoch, total_epochs):
-        lr = epoch_lr(base_lr, milestones, gamma, epoch)
+        factor = gamma ** sum(1 for m in milestones if epoch >= m)
         state = state.replace(
-            opt_state=set_learning_rate(state.opt_state, lr, adamw_index)
+            opt_state=apply_lr_schedule(state.opt_state, factor, opt_info)
         )
-        log(f"-- Epoch {epoch + 1}/{total_epochs}; lr = {lr:.6g} --")
+        log(f"-- Epoch {epoch + 1}/{total_epochs}; lr = {base_lr * factor:.6g} --")
         start = time.time()
 
         state, train_rec = run_epoch(
             "train", epoch, train_loader, state, train_step, mesh,
-            rng_key, log, print_step, board,
+            rng_key, log, print_step, board, profile_ctx,
         )
         _, val_rec = run_epoch(
             "val", epoch, val_loader, state, eval_step, mesh,

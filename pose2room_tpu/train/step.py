@@ -81,17 +81,36 @@ def make_eval_step(model, origin_joint_id=0):
     return eval_step
 
 
-def make_generate_fn(model):
-    """Jitted deterministic inference returning the full end_points dict."""
+def make_generate_fn(model, multi_mode=False, n_samples=1):
+    """Jitted inference returning the full end_points dict.
 
-    @jax.jit
-    def generate(state: TrainState, input_joints):
-        from pose2room_tpu.models.p2rnet import P2RNet
+    Deterministic (MDN get_mean) by default; with ``multi_mode`` the mixture
+    modes are Bernoulli-sampled ``n_samples`` times and averaged (the
+    reference's multi-modal generation path, proposal_net.py:239-241).
+    """
+    from pose2room_tpu.models.p2rnet import P2RNet
 
-        return model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            input_joints,
-            method=P2RNet.generate,
-        )
+    if multi_mode:
+
+        @jax.jit
+        def generate(state: TrainState, input_joints, rng):
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                input_joints,
+                multi_mode=True,
+                n_samples=n_samples,
+                method=P2RNet.generate,
+                rngs={"mdn": rng},
+            )
+
+    else:
+
+        @jax.jit
+        def generate(state: TrainState, input_joints, rng=None):
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                input_joints,
+                method=P2RNet.generate,
+            )
 
     return generate
