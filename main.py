@@ -6,6 +6,25 @@ config format, same run-dir/log layout).
 """
 
 import argparse
+import os
+import subprocess
+
+
+def get_sha():
+    """Git SHA/diff/branch stamp (reference net_utils/utils.py:471-488)."""
+    cwd = os.path.dirname(os.path.abspath(__file__))
+
+    def _run(cmd):
+        try:
+            return subprocess.check_output(cmd, cwd=cwd).decode("ascii").strip()
+        except Exception:
+            return "N/A"
+
+    sha = _run(["git", "rev-parse", "HEAD"])
+    diff = _run(["git", "diff-index", "HEAD"])
+    branch = _run(["git", "rev-parse", "--abbrev-ref", "HEAD"])
+    dirty = "has uncommitted changes" if diff else "clean"
+    return f"sha: {sha}, status: {dirty}, branch: {branch}"
 
 
 def parse_args():
@@ -33,6 +52,7 @@ def main():
     cfg.update_config(args.__dict__)
 
     cfg.log_string("Loading configurations.")
+    cfg.log_string(f"git:\n  {get_sha()}\n")
     cfg.log_string(cfg.config)
     cfg.write_config()
 

@@ -48,6 +48,9 @@ class DataLoader:
         self.process_count = process_count
         self.epoch = 0
         self._pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers else None
+        # dedicated single-thread prefetcher: reads batch k+1 while batch k
+        # trains (must be distinct from _pool — its task blocks on _pool.map)
+        self._prefetcher = ThreadPoolExecutor(max_workers=1) if num_workers else None
 
     def set_epoch(self, epoch):
         self.epoch = epoch
@@ -81,12 +84,32 @@ class DataLoader:
         rng_seeds = rng.randint(0, 2 ** 31 - 1, size=len(order))
         i_pos = {int(idx): pos for pos, idx in enumerate(order)}
 
-        for start in range(0, len(order), self.batch_size):
+        def make_batch(start):
             chunk = order[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
-                return
+                return None
             if self._pool is not None:
                 samples = list(self._pool.map(fetch, chunk))
             else:
                 samples = [fetch(i) for i in chunk]
-            yield collate(samples)
+            return collate(samples)
+
+        starts = list(range(0, len(order), self.batch_size))
+        if self._pool is None:
+            for start in starts:
+                batch = make_batch(start)
+                if batch is not None:
+                    yield batch
+            return
+
+        # pipeline: read batch k+1 while batch k is on the device
+        pending = self._prefetcher.submit(make_batch, starts[0]) if starts else None
+        for next_start in starts[1:] + [None]:
+            batch = pending.result()
+            pending = (
+                self._prefetcher.submit(make_batch, next_start)
+                if next_start is not None
+                else None
+            )
+            if batch is not None:
+                yield batch

@@ -54,44 +54,51 @@ def _fps_xla(xyz, npoint):
     return jnp.concatenate([old0[:, None], picks.T], axis=1)
 
 
-def _fps_kernel(xyz_ref, out_ref, mind_ref, npoint):
-    # xyz_ref: (1, 3, N) one batch element; out_ref: (1, 1, npoint) int32.
-    x = xyz_ref[0]  # (3, N)
-    N = x.shape[1]
-    sumsq = jnp.sum(x * x, axis=0, keepdims=True)  # (1, N)
+def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, npoint):
+    """Batch-vectorized FPS: batch in sublanes, points in lanes.
+
+    All per-pick work is a handful of (B, N) VPU ops — the f32 (8, 128) tile
+    maps batch onto sublanes so every row advances in lockstep through the
+    inherently sequential pick loop.
+    """
+    x, y, z = x_ref[...], y_ref[...], z_ref[...]  # (B, N) each
+    B, N = x.shape
+    sumsq = x * x + y * y + z * z
     valid = sumsq > _NEAR_ORIGIN_SQ
-    mind_ref[...] = jnp.full((1, N), _INIT_DIST, dtype=jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 2)
+    mind_ref[...] = jnp.full((B, N), _INIT_DIST, dtype=jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
     out_ref[...] = jnp.zeros_like(out_ref)
 
     def body(j, old):
-        onehot = lane == old
-        p = jnp.sum(jnp.where(onehot, x, 0.0), axis=1, keepdims=True)  # (3,1)
-        d = jnp.sum((x - p) ** 2, axis=0, keepdims=True)  # (1,N)
+        onehot = lane == old[:, None]  # (B, N)
+        px = jnp.sum(jnp.where(onehot, x, 0.0), axis=1, keepdims=True)
+        py = jnp.sum(jnp.where(onehot, y, 0.0), axis=1, keepdims=True)
+        pz = jnp.sum(jnp.where(onehot, z, 0.0), axis=1, keepdims=True)
+        d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
         mind_ref[...] = jnp.where(valid, jnp.minimum(mind_ref[...], d), mind_ref[...])
         cand = jnp.where(valid, mind_ref[...], -1.0)
-        new = jnp.argmax(cand[0]).astype(jnp.int32)
-        out_ref[...] = jnp.where(out_lane == j, new, out_ref[...])
+        new = jnp.argmax(cand, axis=1).astype(jnp.int32)  # (B,)
+        out_ref[...] = jnp.where(out_lane == j, new[:, None], out_ref[...])
         return new
 
-    lax.fori_loop(1, npoint, body, jnp.int32(0))
+    lax.fori_loop(1, npoint, body, jnp.zeros((B,), jnp.int32))
 
 
 def _fps_pallas(xyz, npoint, interpret=False):
     B, N, _ = xyz.shape
-    xyz_t = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)  # (B,3,N)
+    xyz = xyz.astype(jnp.float32)
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]  # (B, N) each
     kernel = functools.partial(_fps_kernel, npoint=npoint)
-    out = pl.pallas_call(
+    spec = pl.BlockSpec((B, N), lambda: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, npoint), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
+        in_specs=[spec, spec, spec],
+        out_specs=pl.BlockSpec((B, npoint), lambda: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
         interpret=interpret,
-    )(xyz_t)
-    return out[:, 0, :]
+    )(x, y, z)
 
 
 def furthest_point_sample(xyz, npoint, use_pallas=None):

@@ -45,7 +45,9 @@ def run_epoch(
             state, losses = step_fn(state, batch, rng)
         else:
             losses = step_fn(state, batch, rng)
-        losses = {k: float(v) for k, v in losses.items()}
+        # one host transfer for the whole metrics dict (per-key float() would
+        # round-trip the device once per metric)
+        losses = {k: float(v) for k, v in jax.device_get(losses).items()}
         if profile_ctx is not None:
             profile_ctx.maybe_stop(int(state.step))
         timer.tick()

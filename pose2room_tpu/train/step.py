@@ -8,6 +8,8 @@ the gradient all-reduce (the DDP equivalent) and the metric means are global
 automatically.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -29,8 +31,10 @@ def _gt_arrays(batch):
     return {k: batch[k] for k in GT_KEYS if k in batch}
 
 
-def make_train_step(model, tx, origin_joint_id=0):
-    @jax.jit
+def make_train_step(model, tx, origin_joint_id=0, log_grad_norm=True):
+    import optax
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         gt = _gt_arrays(batch)
 
@@ -48,9 +52,9 @@ def make_train_step(model, tx, origin_joint_id=0):
         (_, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if log_grad_norm:
+            losses["grad_norm"] = optax.global_norm(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        import optax
-
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             params=new_params,
