@@ -24,6 +24,7 @@ import numpy as np
 
 from pose2room_tpu.models.graph import build_spatial_graph
 from pose2room_tpu.models.layers import MLP1x1, STGCNBlock
+from pose2room_tpu.ops.sampling import gather_points
 
 
 def arc_length_seed_inds(origin_traj, n_seeds):
@@ -133,10 +134,9 @@ class STGCN(nn.Module):
 
         seed_skeleton = jnp.take_along_axis(
             input_joints[..., :3], seed_inds[:, :, None, None], axis=1
-        )  # (B,S,V,3)
-        seed_features = jnp.take_along_axis(
-            frame_feat, seed_inds[:, :, None], axis=1
-        )  # (B,S,256)
+        )  # (B,S,V,3) — input gather, no grad path
+        # gather_points carries a one-hot-matmul VJP (TPU scatter avoidance)
+        seed_features = gather_points(frame_feat, seed_inds)  # (B,S,256)
 
         return {
             "seed_inds": seed_inds,

@@ -161,14 +161,53 @@ def ball_query(radius, new_xyz, xyz, nsample):
     return slots.astype(jnp.int32)
 
 
+@jax.custom_vjp
 def gather_points(points, idx):
-    """points: (B, N, C); idx: (B, M) -> (B, M, C)."""
+    """points: (B, N, C); idx: (B, M) -> (B, M, C).
+
+    Custom VJP: the adjoint of a gather is a scatter-add, which XLA
+    serializes on TPU; a one-hot matmul form keeps it on the MXU.
+    """
     return jnp.take_along_axis(points, idx[:, :, None], axis=1)
 
 
+def _gather_points_fwd(points, idx):
+    return gather_points(points, idx), (idx, points.shape)
+
+
+def _gather_points_bwd(res, g):
+    idx, (B, N, C) = res
+    onehot = jax.nn.one_hot(idx, N, dtype=g.dtype)  # (B, M, N)
+    dpoints = jnp.einsum("bmn,bmc->bnc", onehot, g)
+    return dpoints, None
+
+
+gather_points.defvjp(_gather_points_fwd, _gather_points_bwd)
+
+
+@jax.custom_vjp
 def group_points(points, idx):
-    """points: (B, N, C); idx: (B, M, S) -> (B, M, S, C)."""
+    """points: (B, N, C); idx: (B, M, S) -> (B, M, S, C).
+
+    Custom VJP via one-hot matmul (see gather_points) — the grouping
+    backward is the hottest scatter in the proposal module's gradient.
+    """
     B, M, S = idx.shape
     flat = idx.reshape(B, M * S)
     out = jnp.take_along_axis(points, flat[:, :, None], axis=1)
     return out.reshape(B, M, S, points.shape[-1])
+
+
+def _group_points_fwd(points, idx):
+    return group_points(points, idx), (idx, points.shape)
+
+
+def _group_points_bwd(res, g):
+    idx, (B, N, C) = res
+    M, S = idx.shape[1], idx.shape[2]
+    onehot = jax.nn.one_hot(idx.reshape(B, M * S), N, dtype=g.dtype)  # (B,MS,N)
+    dpoints = jnp.einsum("bkn,bkc->bnc", onehot, g.reshape(B, M * S, C))
+    return dpoints, None
+
+
+group_points.defvjp(_group_points_fwd, _group_points_bwd)

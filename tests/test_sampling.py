@@ -114,3 +114,40 @@ def test_gather_group(rng):
     out = np.asarray(group_points(jnp.asarray(pts), jnp.asarray(gidx)))
     for b in range(2):
         np.testing.assert_array_equal(out[b], pts[b][gidx[b]])
+
+
+def test_gather_group_custom_vjp_matches_autodiff(rng):
+    """One-hot-matmul backward == take_along_axis autodiff backward."""
+    import jax
+
+    pts = jnp.asarray(rng.rand(2, 12, 5).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 12, size=(2, 4)).astype(np.int32))
+    gidx = jnp.asarray(rng.randint(0, 12, size=(2, 4, 3)).astype(np.int32))
+
+    def plain_gather(p):
+        return jnp.take_along_axis(p, idx[:, :, None], axis=1).sum()
+
+    def plain_group(p):
+        B, M, S = gidx.shape
+        flat = gidx.reshape(B, M * S)
+        return jnp.take_along_axis(p, flat[:, :, None], axis=1).sum()
+
+    g1 = jax.grad(lambda p: gather_points(p, idx).sum())(pts)
+    g2 = jax.grad(plain_gather)(pts)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+    g1 = jax.grad(lambda p: group_points(p, gidx).sum())(pts)
+    g2 = jax.grad(plain_group)(pts)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+    # weighted sums too (nontrivial cotangents)
+    def plain_group_arr(p):
+        B, M, S = gidx.shape
+        flat = gidx.reshape(B, M * S)
+        out = jnp.take_along_axis(p, flat[:, :, None], axis=1)
+        return out.reshape(B, M, S, p.shape[-1])
+
+    w = jnp.asarray(rng.rand(2, 4, 3, 5).astype(np.float32))
+    g1 = jax.grad(lambda p: (group_points(p, gidx) * w).sum())(pts)
+    g2 = jax.grad(lambda p: (plain_group_arr(p) * w).sum())(pts)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
