@@ -45,6 +45,10 @@ def run(cfg):
     # (proposal_net.py:58-59)
     n_samples = int(np.random.choice(np.arange(1, 100))) if multi_mode else 1
     generate = make_generate_fn(model, multi_mode=multi_mode, n_samples=n_samples)
+    origin = cfg.dataset_config.origin_joint_id
+    jitted_loss = jax.jit(
+        lambda end_points, gt: detection_loss(end_points, gt, origin)
+    )
     gen_key = jax.random.fold_in(
         jax.random.PRNGKey(cfg.config.get("seed", 42)), jax.process_index()
     )
@@ -67,7 +71,7 @@ def run(cfg):
         eval_dict = assembly_pred_map_cls(eval_dict, parsed, cfg.eval_config)
         parsed_gts = parse_groundtruths(arrays)
         gt_map = assembly_gt_map_cls(parsed_gts)
-        losses = detection_loss(
+        losses = jitted_loss(
             {k: v for k, v in end_points.items() if k != "pi"},
             {
                 k: arrays[k]
@@ -76,9 +80,10 @@ def run(cfg):
                     "sem_cls_label", "vote_label", "vote_label_mask",
                 )
             },
-            cfg.dataset_config.origin_joint_id,
         )
-        recorder.update_loss({k: float(v) for k, v in losses.items()})
+        recorder.update_loss(
+            {k: float(v) for k, v in jax.device_get(losses).items()}
+        )
         for t in thresholds:
             ap_calculators[t].step(eval_dict["batch_pred_map_cls"], gt_map)
         cfg.log_string(
