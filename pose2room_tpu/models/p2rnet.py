@@ -35,12 +35,15 @@ class P2RNetConfig:
     num_class: int = 22
     num_joints: int = 53
     origin_joint_id: int = 0
+    compute_dtype: str = "float32"  # 'bfloat16' doubles MXU throughput
 
     @classmethod
     def from_cfg(cls, cfg):
         """Build from a reference-format YAML config dict."""
         data = cfg.config.get("data", {})
+        model_cfg = cfg.config.get("model", {}) or {}
         return cls(
+            compute_dtype=model_cfg.get("compute_dtype", "float32"),
             num_frames=data.get("num_frames", 768),
             num_seeds=data.get("num_seeds", 512),
             seed_sampling=data.get("seed_sampling", "uniform"),
@@ -60,17 +63,22 @@ class P2RNet(nn.Module):
 
     def setup(self):
         c = self.config
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         self.backbone = STGCN(
             n_seeds=c.num_seeds,
             num_frames=c.num_frames,
             origin_joint_id=c.origin_joint_id,
             num_joints=c.num_joints,
             seed_sampling=c.seed_sampling,
+            dtype=dtype,
             name="backbone",
         )
         self.centervoting = CenterVote(
             origin_joint_id=c.origin_joint_id,
             vote_factor=c.vote_factor,
+            dtype=dtype,
             name="centervoting",
         )
         self.detection = ProposalNet(
@@ -78,6 +86,7 @@ class P2RNet(nn.Module):
             num_proposals=c.num_proposals,
             sampling=c.cluster_sampling,
             num_gaussian=c.num_gaussian,
+            dtype=dtype,
             name="detection",
         )
 

@@ -40,18 +40,21 @@ class ProposalNet(nn.Module):
     feature_dim: int = 256
     num_gaussian: int = 100
     gmm_dim: int = 128
+    dtype: object = None
 
     def setup(self):
         # reference mlp spec [256,256,256] INCLUDES the input dim -> 2 layers
         # (pointnet2_modules.py:build_shared_mlp iterates transitions)
         self.sa_mlp = MLP1x1(
-            [256, self.feature_dim], use_bn=False, final_plain=False, name="sa_mlp"
+            [256, self.feature_dim], use_bn=False, final_plain=False,
+            dtype=self.dtype, name="sa_mlp"
         )
-        self.conv_center = MLP1x1([128, self.gmm_dim], final_plain=False, name="conv_center")
-        self.conv_heading = MLP1x1([128, self.gmm_dim], final_plain=False, name="conv_heading")
-        self.conv_size = MLP1x1([128, self.gmm_dim], final_plain=False, name="conv_size")
+        self.conv_center = MLP1x1([128, self.gmm_dim], final_plain=False, dtype=self.dtype, name="conv_center")
+        self.conv_heading = MLP1x1([128, self.gmm_dim], final_plain=False, dtype=self.dtype, name="conv_heading")
+        self.conv_size = MLP1x1([128, self.gmm_dim], final_plain=False, dtype=self.dtype, name="conv_size")
         self.conv_sem_obj = MLP1x1(
-            [128, 128, 2 + self.num_class], final_plain=True, name="conv_sem_obj"
+            [128, 128, 2 + self.num_class], final_plain=True,
+            dtype=self.dtype, name="conv_sem_obj"
         )
         self.gmm_center = MDNHead(
             num_gaussian=self.num_gaussian,
@@ -88,7 +91,7 @@ class ProposalNet(nn.Module):
         grouped_xyz = (grouped_xyz - new_xyz[:, :, None, :]) / self.radius
         grouped_feat = group_points(features, ball_idx)  # (B,P,S,C) use_xyz=False
         h = self.sa_mlp(grouped_feat, train=train)
-        new_features = jnp.max(h, axis=2)  # max-pool over the ball
+        new_features = jnp.max(h, axis=2).astype(jnp.float32)  # max-pool over the ball
         return new_xyz, new_features, inds
 
     def __call__(

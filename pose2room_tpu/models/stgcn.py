@@ -61,14 +61,15 @@ class STGCN(nn.Module):
     out_joint_channels: int = 64
     out_channels: int = 256
     max_hop: int = 5
+    dtype: object = None
 
     def setup(self):
         self.A = jnp.asarray(
             build_spatial_graph(self.num_joints, max_hop=self.max_hop)
         )  # (K, V, V)
         K = self.A.shape[0]
-        self.pos_embed = MLP1x1([64, 64, self.in_channels], name="pos_embed")
-        self.sk_feat = MLP1x1([64, 64, self.in_channels], name="sk_feat")
+        self.pos_embed = MLP1x1([64, 64, self.in_channels], dtype=self.dtype, name="pos_embed")
+        self.sk_feat = MLP1x1([64, 64, self.in_channels], dtype=self.dtype, name="sk_feat")
         blocks = []
         channels = [64, 64, 64, 64, 64, self.out_joint_channels]
         for i, ch in enumerate(channels):
@@ -77,6 +78,7 @@ class STGCN(nn.Module):
                     out_channels=ch,
                     spatial_kernel_size=K,
                     residual=(i != 0),
+                    dtype=self.dtype,
                     name=f"gcn{i}",
                 )
             )
@@ -85,7 +87,7 @@ class STGCN(nn.Module):
             self.param(f"edge_importance{i}", nn.initializers.ones, self.A.shape)
             for i in range(len(blocks))
         ]
-        self.conv_joint = nn.Dense(self.out_channels, name="conv_joint")
+        self.conv_joint = nn.Dense(self.out_channels, dtype=self.dtype, name="conv_joint")
         self._window_idx = jnp.asarray(window_index_table(self.num_frames, self.knn))
 
     def __call__(self, input_joints, train: bool = False):
@@ -130,7 +132,7 @@ class STGCN(nn.Module):
         # here vs the reference's (c, v) (stgcn.py:137-138) — a weight
         # converter must permute conv_joint accordingly.
         h = h.reshape(B, T, V * h.shape[-1])
-        frame_feat = self.conv_joint(h)  # (B,T,256)
+        frame_feat = self.conv_joint(h).astype(jnp.float32)  # (B,T,256)
 
         seed_skeleton = jnp.take_along_axis(
             input_joints[..., :3], seed_inds[:, :, None, None], axis=1

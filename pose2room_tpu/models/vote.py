@@ -16,6 +16,7 @@ class CenterVote(nn.Module):
     origin_joint_id: int = 0
     vote_factor: int = 1
     feature_dim: int = 256
+    dtype: object = None
 
     @nn.compact
     def __call__(self, seed_skeleton, seed_features, train: bool = False):
@@ -28,8 +29,11 @@ class CenterVote(nn.Module):
         seed_xyz = seed_skeleton[:, :, self.origin_joint_id]  # (B,S,3)
         B, S, C = seed_features.shape
         out = MLP1x1(
-            [256, 256, (3 + self.feature_dim) * self.vote_factor], name="conv_input"
+            [256, 256, (3 + self.feature_dim) * self.vote_factor],
+            dtype=self.dtype,
+            name="conv_input",
         )(seed_features, train=train)
+        out = out.astype(jnp.float32)
         out = out.reshape(B, S, self.vote_factor, 3 + self.feature_dim)
         offset = out[..., :3]
         vote_xyz = (seed_xyz[:, :, None, :] + offset).reshape(B, S * self.vote_factor, 3)

@@ -35,21 +35,15 @@ def run_epoch(
     timer = StepTimer()
     loader.set_epoch(epoch)
     n_batches = len(loader)
-    for it, batch in enumerate(loader):
-        batch = {k: v for k, v in batch.items() if k != "sample_idx"}
-        batch = shard_batch(batch, mesh)
-        rng = jax.random.fold_in(rng_key, epoch * 100000 + it)
-        if profile_ctx is not None:
-            profile_ctx.maybe_start(int(state.step))
-        if phase == "train":
-            state, losses = step_fn(state, batch, rng)
-        else:
-            losses = step_fn(state, batch, rng)
-        # one host transfer for the whole metrics dict (per-key float() would
-        # round-trip the device once per metric)
-        losses = {k: float(v) for k, v in jax.device_get(losses).items()}
-        if profile_ctx is not None:
-            profile_ctx.maybe_stop(int(state.step))
+
+    # Metrics are fetched ONE STEP LATE: jax dispatch is async, so by the
+    # time we block on step k's losses, step k+1's H2D transfer and launch
+    # are already enqueued — the device stays busy across step boundaries.
+    pending = None  # (it, losses_handle, step_no)
+
+    def drain(entry):
+        it, handle, step_no = entry
+        losses = {k: float(v) for k, v in jax.device_get(handle).items()}
         timer.tick()
         recorder.update_loss(losses)
         if (it % print_step) == 0:
@@ -59,7 +53,28 @@ def run_epoch(
                 f"Current loss: {dict((k, round(v, 5)) for k, v in losses.items())}."
             )
         if board is not None:
-            board.update(losses, int(state.step), phase)
+            board.update(losses, step_no, phase)
+
+    # host-side step counter: int(state.step) would force a device sync
+    host_step = int(state.step)
+    for it, batch in enumerate(loader):
+        batch = {k: v for k, v in batch.items() if k != "sample_idx"}
+        batch = shard_batch(batch, mesh)
+        rng = jax.random.fold_in(rng_key, epoch * 100000 + it)
+        if profile_ctx is not None:
+            profile_ctx.maybe_start(host_step)
+        if phase == "train":
+            state, losses = step_fn(state, batch, rng)
+            host_step += 1
+        else:
+            losses = step_fn(state, batch, rng)
+        if profile_ctx is not None:
+            profile_ctx.maybe_stop(host_step)
+        if pending is not None:
+            drain(pending)
+        pending = (it, losses, host_step)
+    if pending is not None:
+        drain(pending)
     return state, recorder
 
 
