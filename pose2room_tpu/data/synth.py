@@ -58,18 +58,29 @@ def votes_for_skeleton(joints, instances, contact_dist=1.0):
 
 
 def make_scene(rng, n_objects=4, n_frames=300, num_classes=22, n_joints=53):
-    """Generate a random room: objects + a wandering skeleton trajectory."""
+    """Generate a random room: objects + a wandering skeleton trajectory.
+
+    The class id is a deterministic function of the box geometry (volume
+    bucket) so the semantic head has signal to learn from — unlike a random
+    label, which no pose-only model could ever predict.
+    """
     instances = []
     for _ in range(n_objects):
         heading = rng.uniform(-np.pi, np.pi)
+        size = rng.uniform(0.3, 1.5, size=3)
+        vol = float(np.prod(size))  # in (0.027, 3.375)
+        cls = int(
+            np.clip(np.floor(np.log(vol / 0.027) / np.log(3.375 / 0.027) * num_classes),
+                    0, num_classes - 1)
+        )
         instances.append(
             {
-                "class_id": int(rng.randint(0, num_classes)),
+                "class_id": cls,
                 "centroid": np.array(
                     [rng.uniform(-3, 3), rng.uniform(0.2, 1.0), rng.uniform(-3, 3)]
                 ),
                 "R_mat": head2rot(heading, xp=np),
-                "size": rng.uniform(0.3, 1.5, size=3),
+                "size": size,
             }
         )
 
