@@ -121,3 +121,27 @@ def test_train_then_test_then_demo(workspace):
     assert len(results) == 1
     _, dump_dir, _ = results[0]
     assert os.path.isfile(os.path.join(dump_dir, "skeleton_points.ply"))
+
+
+def test_resume_from_previous_run(workspace):
+    """resume: True scans sibling run dirs for the newest model_last_*."""
+    import jax
+
+    root, split_dir = workspace
+    from pose2room_tpu.runners import train as train_runner
+
+    cfg1 = _tiny_config(root, split_dir, "train")
+    train_runner.run(cfg1)
+    assert glob.glob(os.path.join(cfg1.save_path, "model_last_*"))
+
+    cfg2 = _tiny_config(root, split_dir, "train")
+    cfg2.config["resume"] = True
+    cfg2.config["train"]["epochs"] = 3  # 1 more than the saved epoch 2
+    logs = []
+    cfg2.log_string = lambda s: logs.append(str(s))
+    train_runner.run(cfg2)
+    joined = "\n".join(logs)
+    assert "Resuming from" in joined
+    # resumed at epoch 2 -> only epoch 3/3 runs
+    assert "Epoch 3/3" in joined
+    assert "Epoch 1/3" not in joined
