@@ -174,3 +174,29 @@ def test_loss_decreases_under_training():
         params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state, key)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_seed_sampling_branches():
+    """linspace (n_seeds >= T) and 'random' sort-sample seed selection."""
+    from pose2room_tpu.models.stgcn import STGCN
+
+    # linspace: n_seeds == T -> identity indices
+    m = STGCN(n_seeds=16, num_frames=16)
+    x = jnp.zeros((2, 16, 53, 3))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = m.apply(v, x, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(out["seed_inds"]), np.tile(np.arange(16), (2, 1))
+    )
+
+    # random: sorted subset of frame indices, reproducible per key
+    m = STGCN(n_seeds=8, num_frames=16, seed_sampling="random")
+    v = m.init({"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(0)}, x, train=False)
+    o1 = m.apply(v, x, train=False, rngs={"sampling": jax.random.PRNGKey(5)})
+    o2 = m.apply(v, x, train=False, rngs={"sampling": jax.random.PRNGKey(5)})
+    o3 = m.apply(v, x, train=False, rngs={"sampling": jax.random.PRNGKey(6)})
+    inds = np.asarray(o1["seed_inds"])
+    assert (np.diff(inds, axis=1) > 0).all()  # strictly increasing (no dup)
+    assert inds.min() >= 0 and inds.max() < 16
+    np.testing.assert_array_equal(inds, np.asarray(o2["seed_inds"]))
+    assert not np.array_equal(inds, np.asarray(o3["seed_inds"]))

@@ -245,3 +245,20 @@ def test_loss_parity(reference_modules, our_model_and_params, rng):
         assert abs(float(losses[key]) - float(ref_losses[key])) < 2e-3, (
             key, float(losses[key]), float(ref_losses[key])
         )
+
+
+def test_strip_prefixes():
+    """DataParallel 'module.' prefixes and phase grouping (convert.py)."""
+    from pose2room_tpu.convert import strip_prefixes
+
+    sd = {
+        "module.backbone.conv_joint.weight": 1,
+        "module.centervoting.conv_input.0.conv.weight": 2,
+        "module.detection.gmm_center.mdn.mu": 3,
+        "backbone.A": 4,  # buffers keep working without the prefix too
+    }
+    phases = strip_prefixes(sd)
+    assert phases["backbone"]["conv_joint.weight"] == 1
+    assert phases["backbone"]["A"] == 4
+    assert phases["centervoting"]["conv_input.0.conv.weight"] == 2
+    assert phases["detection"]["gmm_center.mdn.mu"] == 3
