@@ -41,16 +41,27 @@ def run(cfg):
     cfg.log_string(f"{len(ds)} test samples")
 
     multi_mode = cfg.config["test"].get("multi_mode", False)
+    # Per-RUN entropy for multi-modal evaluation: multi_modal_eval aggregates
+    # over several SAMPLED runs, so each run must draw different modes while
+    # staying reproducible within itself — fold the run dir's identity into
+    # the key (the config seed alone would repeat runs exactly).
+    run_salt = (hash(cfg.save_path) & 0x7FFFFFFF) if multi_mode else 0
+    rng_host = np.random.RandomState(
+        (cfg.config.get("seed", 42) + run_salt) % (2**31)
+    )
     # reference picks a random sample count in [1, 99] per run
     # (proposal_net.py:58-59)
-    n_samples = int(np.random.choice(np.arange(1, 100))) if multi_mode else 1
+    n_samples = int(rng_host.choice(np.arange(1, 100))) if multi_mode else 1
     generate = make_generate_fn(model, multi_mode=multi_mode, n_samples=n_samples)
     origin = cfg.dataset_config.origin_joint_id
     jitted_loss = jax.jit(
         lambda end_points, gt: detection_loss(end_points, gt, origin)
     )
     gen_key = jax.random.fold_in(
-        jax.random.PRNGKey(cfg.config.get("seed", 42)), jax.process_index()
+        jax.random.fold_in(
+            jax.random.PRNGKey(cfg.config.get("seed", 42)), run_salt
+        ),
+        jax.process_index(),
     )
     thresholds = cfg.config["test"].get("ap_iou_thresholds", [0.25, 0.5])
     ap_calculators = {
