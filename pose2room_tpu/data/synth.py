@@ -57,21 +57,25 @@ def votes_for_skeleton(joints, instances, contact_dist=1.0):
     return votes
 
 
-def make_scene(rng, n_objects=4, n_frames=300, num_classes=22, n_joints=53):
+def make_scene(rng, n_objects=4, n_frames=300, num_classes=22, n_joints=53,
+               class_buckets=None):
     """Generate a random room: objects + a wandering skeleton trajectory.
 
     The class id is a deterministic function of the box geometry (volume
     bucket) so the semantic head has signal to learn from — unlike a random
-    label, which no pose-only model could ever predict.
+    label, which no pose-only model could ever predict.  ``class_buckets``
+    controls how many distinct class ids are used (fewer buckets = an easier,
+    more diagnostic classification task).
     """
+    buckets = class_buckets or num_classes
     instances = []
     for _ in range(n_objects):
         heading = rng.uniform(-np.pi, np.pi)
         size = rng.uniform(0.3, 1.5, size=3)
         vol = float(np.prod(size))  # in (0.027, 3.375)
         cls = int(
-            np.clip(np.floor(np.log(vol / 0.027) / np.log(3.375 / 0.027) * num_classes),
-                    0, num_classes - 1)
+            np.clip(np.floor(np.log(vol / 0.027) / np.log(3.375 / 0.027) * buckets),
+                    0, buckets - 1)
         )
         instances.append(
             {
@@ -118,7 +122,8 @@ def write_sample(path, joints, instances, contact_dist=1.0):
             g.create_dataset("size", data=inst["size"].astype(np.float32))
 
 
-def write_synthetic_dataset(root, n_train=8, n_test=4, seed=0, n_frames=300):
+def write_synthetic_dataset(root, n_train=8, n_test=4, seed=0, n_frames=300,
+                            class_buckets=None):
     """Create a tiny reference-format dataset: samples/ + splits/ JSONs.
 
     Returns (train_split_path, test_split_path).
@@ -132,7 +137,10 @@ def write_synthetic_dataset(root, n_train=8, n_test=4, seed=0, n_frames=300):
     paths = []
     for i in range(n_train + n_test):
         p = os.path.join(sample_dir, f"sample_{i:04d}.hdf5")
-        joints, instances = make_scene(rng, n_objects=int(rng.randint(2, 6)), n_frames=n_frames)
+        joints, instances = make_scene(
+            rng, n_objects=int(rng.randint(2, 6)), n_frames=n_frames,
+            class_buckets=class_buckets,
+        )
         write_sample(p, joints, instances)
         paths.append(p)
 
