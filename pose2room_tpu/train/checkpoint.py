@@ -78,6 +78,7 @@ class CheckpointIO:
         """
         import flax.traverse_util as tu
 
+        path = self._materialize(path)
         loaded = ocp.StandardCheckpointer().restore(_abs(path))
 
         def merge(current, incoming, label):
@@ -99,6 +100,32 @@ class CheckpointIO:
             jax.device_get(state.batch_stats), loaded.get("batch_stats"), "batch stat"
         )
         return state.replace(params=params, batch_stats=batch_stats)
+
+    def _materialize(self, path):
+        """Support http(s):// weight locations (reference loads via
+        torch model_zoo, net_utils/utils.py:160): download-and-extract to a
+        local cache dir, then load normally."""
+        if not str(path).startswith(("http://", "https://")):
+            return path
+        import tarfile
+        import urllib.request
+        import zipfile
+
+        cache = os.path.join(self.run_dir, "downloaded_weights")
+        os.makedirs(cache, exist_ok=True)
+        fname = os.path.join(cache, os.path.basename(str(path)))
+        if not os.path.exists(fname):
+            self.log(f"Downloading weights from {path}")
+            urllib.request.urlretrieve(str(path), fname)
+        if zipfile.is_zipfile(fname):
+            with zipfile.ZipFile(fname) as z:
+                z.extractall(cache)
+            return os.path.join(cache, z.namelist()[0].split("/")[0])
+        if tarfile.is_tarfile(fname):
+            with tarfile.open(fname) as t:
+                t.extractall(cache)
+                return os.path.join(cache, t.getnames()[0].split("/")[0])
+        return fname
 
     # -- resume scan --------------------------------------------------------
     def find_resume_checkpoint(self):
