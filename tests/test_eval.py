@@ -211,3 +211,37 @@ def test_parse_groundtruths(rng):
     assert (parsed["gt_corners_3d"][:, 4:] == 0).all()
     gt_map = assembly_gt_map_cls(parsed)
     assert len(gt_map) == B and len(gt_map[0]) == 4
+
+
+def test_parse_predictions_bev_nms_path(rng):
+    """use_3d_nms=False exercises the 2D BEV NMS branch."""
+    ds_cfg = DatasetConfig("virtualhome")
+    end_points = _fake_end_points(rng)
+    joints = rng.randn(2, 16, 53, 3).astype(np.float32)
+    cfg = {
+        "dataset_config": ds_cfg, "remove_far_box": False, "use_3d_nms": False,
+        "cls_nms": False, "nms_iou": 0.3, "use_old_type_nms": False,
+        "per_class_proposal": False, "conf_thresh": 0.05, "sample_cls": False,
+    }
+    eval_dict, parsed = parse_predictions(
+        end_points, {"input_joints": jnp.asarray(joints)}, cfg
+    )
+    assert eval_dict["pred_mask"].sum() >= 2  # at least one pick per sample
+
+    # cls_nms branch
+    cfg["use_3d_nms"] = True
+    cfg["cls_nms"] = True
+    eval_dict2, _ = parse_predictions(
+        end_points, {"input_joints": jnp.asarray(joints)}, cfg
+    )
+    # class-gated suppression keeps at least as many boxes
+    assert eval_dict2["pred_mask"].sum() >= eval_dict["pred_mask"].sum() - 2
+
+    # sample_cls branch (categorical class sampling)
+    cfg["sample_cls"] = True
+    _, parsed3 = parse_predictions(
+        end_points, {"input_joints": jnp.asarray(joints)}, cfg,
+        rng=np.random.RandomState(0),
+    )
+    assert parsed3["pred_sem_cls"].shape == parsed["pred_sem_cls"].shape
+    assert parsed3["pred_sem_cls"].max() < ds_cfg.num_class

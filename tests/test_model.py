@@ -200,3 +200,19 @@ def test_seed_sampling_branches():
     assert inds.min() >= 0 and inds.max() < 16
     np.testing.assert_array_equal(inds, np.asarray(o2["seed_inds"]))
     assert not np.array_equal(inds, np.asarray(o3["seed_inds"]))
+
+
+def test_seed_fps_sampling_path():
+    """cluster_sampling='seed_fps': arc-length resampling of seed hips."""
+    cfg = P2RNetConfig(
+        num_frames=48, num_seeds=32, num_proposals=8, num_gaussian=8,
+        cluster_sampling="seed_fps",
+    )
+    model = P2RNet(config=cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 48, 53, 3))
+    v = model.init({"params": key, "mdn": key}, x, train=False)
+    out = model.apply(v, x, method=P2RNet.generate)
+    assert out["aggregated_vote_xyz"].shape == (2, 8, 3)
+    inds = np.asarray(out["aggregated_vote_inds"])
+    assert inds.min() >= 0 and inds.max() < cfg.num_seeds
