@@ -22,6 +22,9 @@ from pose2room_tpu.utils.vis import dump_predictions
 
 
 def run(cfg):
+    from pose2room_tpu.runners.train import _check_split
+
+    _check_split(cfg, "test")
     model, state, _, _, mesh, _, _, _ = setup(cfg, "test")
     data_cfg = cfg.config["data"]
     split_file = os.path.join(data_cfg["split"], "test.json")

@@ -29,7 +29,23 @@ def _make_loader(cfg, mode):
     )
 
 
+def _check_split(cfg, name):
+    import os
+
+    split_file = os.path.join(cfg.config["data"]["split"], f"{name}.json")
+    if not os.path.isfile(split_file):
+        raise FileNotFoundError(
+            f"Dataset split not found: {split_file}. Point data.split at a "
+            "directory with train/val/test.json (see scripts/"
+            "generate_samples.py + scripts/split_samples.py to build one "
+            "from recordings, or pose2room_tpu.data.write_synthetic_dataset "
+            "for a synthetic set)."
+        )
+
+
 def run(cfg):
+    _check_split(cfg, "train")
+    _check_split(cfg, "val")
     cfg.log_string("Setting up model and device mesh.")
     model, state, tx, opt_info, mesh, checkpoint, start_epoch, min_loss = setup(
         cfg, "train"
