@@ -47,14 +47,24 @@ def run(cfg):
     # Per-RUN entropy for multi-modal evaluation: multi_modal_eval aggregates
     # over several SAMPLED runs, so each run must draw different modes while
     # staying reproducible within itself — fold the run dir's identity into
-    # the key (the config seed alone would repeat runs exactly).
-    run_salt = (hash(cfg.save_path) & 0x7FFFFFFF) if multi_mode else 0
+    # the key via a stable hash (Python hash() is randomized per process by
+    # PYTHONHASHSEED, which would make re-evaluating the same run dir
+    # irreproducible).
+    import zlib
+
+    run_salt = zlib.crc32(cfg.save_path.encode()) & 0x7FFFFFFF if multi_mode else 0
     rng_host = np.random.RandomState(
         (cfg.config.get("seed", 42) + run_salt) % (2**31)
     )
     # reference picks a random sample count in [1, 99] per run
     # (proposal_net.py:58-59)
     n_samples = int(rng_host.choice(np.arange(1, 100))) if multi_mode else 1
+    if multi_mode:
+        # Persist the drawn mode parameters so the run is auditable and
+        # replayable from its out_config.yaml.
+        cfg.config["test"]["drawn_run_salt"] = int(run_salt)
+        cfg.config["test"]["drawn_n_samples"] = n_samples
+        cfg.write_config()
     generate = make_generate_fn(model, multi_mode=multi_mode, n_samples=n_samples)
     origin = cfg.dataset_config.origin_joint_id
     jitted_loss = jax.jit(

@@ -129,18 +129,30 @@ class CheckpointIO:
 
     # -- resume scan --------------------------------------------------------
     def find_resume_checkpoint(self):
-        """Newest ``model_last*`` under sibling timestamped run dirs."""
+        """Newest ``model_last*`` under sibling timestamped run dirs.
+
+        Within the newest run dir that has any, the highest-epoch
+        ``model_last_<k>`` wins (bare ``model_last`` counts as epoch -1) —
+        reference scans newest-first (net_utils/utils.py:125-143); picking by
+        os.listdir order could resume an older epoch.
+        """
         parent = os.path.dirname(self.run_dir)
         if not os.path.isdir(parent):
             return None
-        candidates = []
+
+        def epoch_of(name):
+            m = re.match(r"model_last_(\d+)$", name)
+            return int(m.group(1)) if m else -1
+
         for d in sorted(os.listdir(parent), reverse=True):
             full = os.path.join(parent, d)
             if not os.path.isdir(full):
                 continue
-            for name in os.listdir(full):
-                if re.match(r"model_last", name):
-                    candidates.append(os.path.join(full, name))
+            candidates = [
+                name for name in os.listdir(full)
+                if re.match(r"model_last", name)
+            ]
             if candidates:
-                break
-        return candidates[0] if candidates else None
+                newest = max(candidates, key=epoch_of)
+                return os.path.join(full, newest)
+        return None
