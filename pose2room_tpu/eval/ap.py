@@ -187,6 +187,35 @@ class APCalculator:
         ret["AR"] = np.mean([r for r in rec_list if not np.isnan(r)]) if rec_list else 0.0
         return ret
 
+    def synchronize_between_processes(self, allgather=None):
+        """Merge accumulated scans from all processes.
+
+        The reference's test loop accumulates AP state globally because its
+        evaluation runs single-process; here each host evaluates only its data
+        shard (data/loader.py per-host sharding), so a multi-host test run
+        must union the per-scan pred/gt lists before ``compute_metrics`` —
+        otherwise it silently reports shard-local mAP.  Scans are re-keyed
+        densely in process order, preserving ap_helper.py:39-59 semantics
+        (keys only need to be unique per scan).  ``allgather`` is injectable
+        for tests; the default rides jax multihost_utils.
+        """
+        if allgather is None:
+            from pose2room_tpu.parallel.collectives import (
+                allgather_object as allgather,
+            )
+        states = allgather((self.pred_map_cls, self.gt_map_cls))
+        if len(states) == 1:
+            return
+        merged_pred, merged_gt, cnt = {}, {}, 0
+        for pred, gt in states:
+            for k in sorted(pred.keys()):
+                merged_pred[cnt] = pred[k]
+                merged_gt[cnt] = gt[k]
+                cnt += 1
+        self.pred_map_cls, self.gt_map_cls, self.scan_cnt = (
+            merged_pred, merged_gt, cnt,
+        )
+
     def reset(self):
         self.gt_map_cls = {}
         self.pred_map_cls = {}

@@ -54,35 +54,42 @@ def _fps_xla(xyz, npoint):
     return jnp.concatenate([old0[:, None], picks.T], axis=1)
 
 
-def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, npoint):
+def _fps_kernel(x_ref, y_ref, z_ref, out_ref, npoint):
     """Batch-vectorized FPS: batch in sublanes, points in lanes.
 
     All per-pick work is a handful of (B, N) VPU ops — the f32 (8, 128) tile
     maps batch onto sublanes so every row advances in lockstep through the
-    inherently sequential pick loop.
+    inherently sequential pick loop.  Every loop-carried value is a native
+    2-D (sublane, lane) tile — (B, 1) scalars-per-row, never (B,) vectors —
+    which is what makes the Mosaic lowering fast (1-D carries forced a
+    relayout per iteration), and the pick's coordinates are extracted with
+    the same masked reductions that compute the argmax (tie-break = lowest
+    lane, identical to argmax and to the CUDA scan order).
     """
     x, y, z = x_ref[...], y_ref[...], z_ref[...]  # (B, N) each
     B, N = x.shape
-    sumsq = x * x + y * y + z * z
-    valid = sumsq > _NEAR_ORIGIN_SQ
-    mind_ref[...] = jnp.full((B, N), _INIT_DIST, dtype=jnp.float32)
+    valid = (x * x + y * y + z * z) > _NEAR_ORIGIN_SQ
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
     out_lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
     out_ref[...] = jnp.zeros_like(out_ref)
+    prev0 = jnp.zeros((B, 1), dtype=jnp.int32)  # first pick is always index 0
+    mind0 = jnp.full((B, N), _INIT_DIST, dtype=jnp.float32)
 
-    def body(j, old):
-        onehot = lane == old[:, None]  # (B, N)
-        px = jnp.sum(jnp.where(onehot, x, 0.0), axis=1, keepdims=True)
-        py = jnp.sum(jnp.where(onehot, y, 0.0), axis=1, keepdims=True)
-        pz = jnp.sum(jnp.where(onehot, z, 0.0), axis=1, keepdims=True)
+    def body(j, carry):
+        prev, mind = carry  # (B, 1) i32, (B, N) f32
+        sel = lane == prev
+        px = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+        py = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
+        pz = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
         d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
-        mind_ref[...] = jnp.where(valid, jnp.minimum(mind_ref[...], d), mind_ref[...])
-        cand = jnp.where(valid, mind_ref[...], -1.0)
-        new = jnp.argmax(cand, axis=1).astype(jnp.int32)  # (B,)
-        out_ref[...] = jnp.where(out_lane == j, new[:, None], out_ref[...])
-        return new
+        mind = jnp.where(valid, jnp.minimum(mind, d), mind)
+        cand = jnp.where(valid, mind, -1.0)
+        m = jnp.max(cand, axis=1, keepdims=True)
+        new = jnp.min(jnp.where(cand == m, lane, N), axis=1, keepdims=True)
+        out_ref[...] = jnp.where(out_lane == j, new, out_ref[...])
+        return (new, mind)
 
-    lax.fori_loop(1, npoint, body, jnp.zeros((B,), jnp.int32))
+    lax.fori_loop(1, npoint, body, (prev0, mind0))
 
 
 def _fps_pallas(xyz, npoint, interpret=False):
@@ -96,7 +103,6 @@ def _fps_pallas(xyz, npoint, interpret=False):
         in_specs=[spec, spec, spec],
         out_specs=pl.BlockSpec((B, npoint), lambda: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
         interpret=interpret,
     )(x, y, z)
 
@@ -108,15 +114,26 @@ def furthest_point_sample(xyz, npoint, use_pallas=None):
         xyz: (B, N, 3) float32.
         npoint: number of samples.
         use_pallas: force kernel choice; both paths have identical semantics
-            (see test_sampling.py).  Default is currently the XLA scan — it
-            measured faster than the first-cut Pallas kernel at (8,512)->128
-            (1.6ms vs 2.2ms on v5e); the Pallas kernel will become the default
-            once its batch-vectorized layout lands.
+            (see test_sampling.py).  Default: the Pallas kernel on TPU — it
+            beats the XLA scan at every model shape (v5e: 0.40 vs 0.51 ms at
+            (8,512)->128, 0.39 vs 0.92 ms at (32,512)->128, see
+            scripts/bench_fps.py + BENCH_NOTES.md) — and the XLA scan
+            elsewhere (CPU tests, interpret-free portability).
     Returns:
         (B, npoint) int32 indices; idx[:, 0] == 0 always.
     """
     if use_pallas is None:
-        use_pallas = False
+        # Resolve per lowering platform, not per default backend: param init
+        # and tests trace the model on the CPU backend even when a TPU is
+        # attached, and a Pallas TPU kernel cannot lower there.  FPS is
+        # non-differentiable (int indices; reference kernel likewise) — stop
+        # gradients BEFORE the platform cond so autodiff never tries to
+        # linearize through the Pallas call.
+        return lax.platform_dependent(
+            lax.stop_gradient(xyz),
+            tpu=functools.partial(_fps_pallas, npoint=npoint),
+            default=functools.partial(_fps_xla, npoint=npoint),
+        )
     impl = _fps_pallas if use_pallas else _fps_xla
     return impl(xyz, npoint)
 

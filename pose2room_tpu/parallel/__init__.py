@@ -5,3 +5,4 @@ from pose2room_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
 )
+from pose2room_tpu.parallel.collectives import allgather_object

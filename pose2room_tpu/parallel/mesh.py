@@ -36,24 +36,45 @@ def replicated_sharding(mesh):
 
 
 def shard_batch(batch, mesh, axis_name="data"):
-    """device_put a host batch dict with the batch axis sharded.
+    """Place a host batch dict on the mesh with the batch axis sharded.
 
     Non-array entries (e.g. sample_idx strings) are passed through.  Batches
     whose leading dim is not divisible by the mesh size (e.g. a trailing
     partial batch) are replicated instead — correct, just without the
     data-parallel speedup for that one step.
+
+    Multi-host: each process holds only its data shard (data/loader.py), so
+    the global array is assembled from per-process local data — the leading
+    dim of the result is local_batch × process_count.  This is the jax
+    analogue of DDP's "each rank feeds its own DistributedSampler shard"
+    (reference models/p2rnet/dataloader.py:179-180).
     """
     n_dev = mesh.devices.size
     sharded = batch_sharding(mesh, axis_name)
     replicated = replicated_sharding(mesh)
+    multihost = jax.process_count() > 1
 
     def put(x):
-        if isinstance(x, np.ndarray):
-            s = sharded if x.shape and x.shape[0] % n_dev == 0 else replicated
-            return jax.device_put(x, s)
-        return x
+        if not isinstance(x, np.ndarray):
+            return x
+        if multihost:
+            if x.shape and (x.shape[0] * jax.process_count()) % n_dev == 0:
+                return jax.make_array_from_process_local_data(sharded, x)
+            return multihost_replicate(x, mesh)
+        s = sharded if x.shape and x.shape[0] % n_dev == 0 else replicated
+        return jax.device_put(x, s)
 
     return {k: put(v) for k, v in batch.items()}
+
+
+def multihost_replicate(x, mesh):
+    """Replicate one host-local array across a multi-host mesh (all hosts
+    must pass the same value)."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(
+        x, mesh, jax.sharding.PartitionSpec()
+    )
 
 
 def replicate(tree, mesh):

@@ -40,6 +40,10 @@ def run(cfg):
         batch_size=cfg.config["test"].get("batch_size", 1),
         shuffle=False,
         num_workers=cfg.config.get("device", {}).get("num_workers", 8) or 0,
+        # per-host shard of the test set; AP/loss state is re-unioned across
+        # processes below (synchronize_between_processes)
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
     cfg.log_string(f"{len(ds)} test samples")
 
@@ -124,6 +128,11 @@ def run(cfg):
             )
 
     cfg.log_string(f"Test total elapsed: {time.time() - start:.2f}s")
+    # multi-host: union shard-local AP state and loss counters so the
+    # reported metrics are global (reference net_utils/utils.py:319-327)
+    recorder.synchronize_between_processes()
+    for calc in ap_calculators.values():
+        calc.synchronize_between_processes()
     cfg.log_string(f"Mean losses: {recorder.means()}")
     metrics_all = {}
     for t, calc in ap_calculators.items():

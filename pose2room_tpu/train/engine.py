@@ -16,6 +16,24 @@ from pose2room_tpu.train.state import apply_lr_schedule
 from pose2room_tpu.utils.logger import LossRecorder, LogBoard
 
 
+def device_prefetch(batches, mesh, depth=2):
+    """Double-buffered H2D staging: enqueue batch k+1's device transfer
+    before batch k's step is dispatched, so input upload overlaps the
+    previous step's compute (device_put is async).  On a directly-attached
+    host this is nearly free; through a slow dev tunnel it converts
+    step_time = transfer + compute into max(transfer, compute)."""
+    from collections import deque
+
+    q = deque()
+    for batch in batches:
+        arrays = {k: v for k, v in batch.items() if k != "sample_idx"}
+        q.append(shard_batch(arrays, mesh))
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def run_epoch(
     phase,
     epoch,
@@ -57,9 +75,7 @@ def run_epoch(
 
     # host-side step counter: int(state.step) would force a device sync
     host_step = int(state.step)
-    for it, batch in enumerate(loader):
-        batch = {k: v for k, v in batch.items() if k != "sample_idx"}
-        batch = shard_batch(batch, mesh)
+    for it, batch in enumerate(device_prefetch(iter(loader), mesh)):
         rng = jax.random.fold_in(rng_key, epoch * 100000 + it)
         if profile_ctx is not None:
             profile_ctx.maybe_start(host_step)
@@ -161,6 +177,11 @@ def train(
             rng_key, log, print_step, board,
         )
         log(f"Epoch {epoch + 1} elapsed: {time.time() - start:.2f}s")
+        # jit losses over the globally-sharded batch are global means already,
+        # so this is idempotent — kept so host-side counters stay correct if a
+        # phase ever records shard-local values (reference train_epoch.py:83)
+        for rec in (train_rec, val_rec):
+            rec.synchronize_between_processes()
         for phase, rec in (("train", train_rec), ("val", val_rec)):
             log(f"Epoch {epoch + 1} mean {phase} losses: "
                 f"{dict((k, round(v, 5)) for k, v in rec.means().items())}")

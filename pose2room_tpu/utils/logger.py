@@ -2,12 +2,13 @@
 
 Parity with reference net_utils/utils.py:296-405 (AverageMeter/LossRecorder/
 LogBoard).  Cross-process metric aggregation: in the reference this is an
-explicit NCCL all_reduce of (count, sum); here per-batch loss dicts are
-computed inside the jit over the GLOBALLY sharded batch, so every host sees
-global means already — ``synchronize`` therefore only has to be a no-op kept
-for API parity (multi-process aggregation of *host-side* metrics uses
-``jax.experimental.multihost_utils`` when needed).
-"""
+explicit NCCL all_reduce of (count, sum) (net_utils/utils.py:319-327); here
+losses recorded from the sharded TRAIN jit are global means already (the
+mean over the global batch axis rides ICI), so synchronizing them is
+idempotent — but TEST-mode losses are computed per host over that host's
+data shard, so ``synchronize_between_processes`` merges the raw (sum, count)
+accumulators across processes via a host-object allgather
+(parallel/collectives.py)."""
 
 
 class AverageMeter:
@@ -41,9 +42,34 @@ class LossRecorder:
     def means(self):
         return {k: m.avg for k, m in self.loss_recorder.items()}
 
-    def synchronize_between_processes(self):
-        # global means are already computed inside the sharded jit step
-        pass
+    def synchronize_between_processes(self, allgather=None):
+        """Merge (sum, count) accumulators across processes.
+
+        Reference semantics: net_utils/utils.py:319-327 all-reduces every
+        meter's (count, total).  ``allgather`` is injectable for tests; the
+        default rides jax multihost_utils (no-op list for single process).
+        Idempotent when every host already holds identical global means.
+        """
+        if allgather is None:
+            from pose2room_tpu.parallel.collectives import (
+                allgather_object as allgather,
+            )
+        states = allgather(
+            {k: (m.sum, m.count) for k, m in self.loss_recorder.items()}
+        )
+        if len(states) == 1:
+            return
+        merged = {}
+        for st in states:
+            for k, (s, c) in st.items():
+                acc = merged.setdefault(k, [0.0, 0])
+                acc[0] += s
+                acc[1] += c
+        for k, (s, c) in merged.items():
+            m = self.loss_recorder.setdefault(k, AverageMeter())
+            m.sum, m.count = s, c
+            m.avg = s / max(c, 1)
+            m.val = m.avg
 
 
 class LogBoard:

@@ -99,3 +99,98 @@ def test_uneven_batch_replicates(rng):
     np.testing.assert_array_equal(
         np.asarray(batch["input_joints"]).shape[0], 3
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-host metric aggregation (simulated 2-process split).  In a real
+# multi-host run the default allgather rides jax multihost_utils; here two
+# independent "host" instances are merged through an injected gather, and the
+# result must equal single-process accumulation over the full data
+# (reference all-reduce semantics, net_utils/utils.py:319-327).
+# ---------------------------------------------------------------------------
+
+def _fake_allgather(states):
+    calls = []
+
+    def gather(obj):
+        calls.append(obj)
+        return states
+
+    return gather, calls
+
+
+def test_loss_recorder_multihost_merge():
+    from pose2room_tpu.utils.logger import LossRecorder
+
+    r0, r1, ref = LossRecorder(2), LossRecorder(2), LossRecorder(2)
+    host0 = [{"total": 1.0, "center": 0.5}, {"total": 3.0, "center": 0.1}]
+    host1 = [{"total": 2.0, "center": 0.2}]
+    for d in host0:
+        r0.update_loss(d)
+        ref.update_loss(d)
+    for d in host1:
+        r1.update_loss(d)
+        ref.update_loss(d)
+
+    states = [
+        {k: (m.sum, m.count) for k, m in r.loss_recorder.items()}
+        for r in (r0, r1)
+    ]
+    r0.synchronize_between_processes(allgather=lambda obj: states)
+    assert r0.means() == pytest.approx(ref.means())
+
+    # single-process path is a no-op
+    before = dict(ref.means())
+    ref.synchronize_between_processes(allgather=lambda obj: [obj])
+    assert ref.means() == pytest.approx(before)
+
+
+def test_apcalculator_multihost_union(rng):
+    from pose2room_tpu.eval import APCalculator
+    from pose2room_tpu.ops.boxes import get_3d_box
+
+    def scan(seed):
+        r = np.random.RandomState(seed)
+        n_gt = r.randint(1, 4)
+        gt, pred = [], []
+        for g in range(n_gt):
+            cls = int(r.randint(0, 3))
+            center = r.randn(3) * 2
+            size = 0.5 + r.rand(3)
+            corners = get_3d_box(size, float(r.rand() * np.pi), center)
+            gt.append((cls, corners))
+            # one near-hit and one miss per GT
+            pred.append((cls, get_3d_box(size, 0.0, center + 0.05), float(r.rand())))
+            pred.append((cls, get_3d_box(size, 0.0, center + 5.0), float(r.rand())))
+        return pred, gt
+
+    scans = [scan(s) for s in range(6)]
+    calc_ref = APCalculator(0.25, None)
+    calc0, calc1 = APCalculator(0.25, None), APCalculator(0.25, None)
+    for i, (pred, gt) in enumerate(scans):
+        calc_ref.step([pred], [gt])
+        (calc0 if i % 2 == 0 else calc1).step([pred], [gt])
+
+    states = [
+        (calc0.pred_map_cls, calc0.gt_map_cls),
+        (calc1.pred_map_cls, calc1.gt_map_cls),
+    ]
+    calc0.synchronize_between_processes(allgather=lambda obj: states)
+    assert calc0.scan_cnt == calc_ref.scan_cnt == len(scans)
+    m_merged = calc0.compute_metrics()
+    m_ref = calc_ref.compute_metrics()
+    assert set(m_merged) == set(m_ref)
+    for k in m_ref:
+        assert m_merged[k] == pytest.approx(m_ref[k]), k
+
+    # single-process path is a no-op
+    calc_ref.synchronize_between_processes(allgather=lambda obj: [obj])
+    assert calc_ref.scan_cnt == len(scans)
+
+
+def test_allgather_object_single_process():
+    from pose2room_tpu.parallel import allgather_object
+
+    obj = {"a": np.arange(3), "b": "x"}
+    out = allgather_object(obj)
+    assert len(out) == 1 and out[0] is obj

@@ -72,13 +72,18 @@ def test_fps_near_origin_guard(rng):
 
 
 def test_fps_pallas_interpret_matches_xla(rng):
-    """Pallas kernel (interpret mode on CPU) == XLA scan path."""
+    """Pallas kernel (interpret mode on CPU) == XLA scan path.
+
+    Interpret mode checks kernel *semantics* only; on-hardware agreement
+    (where Mosaic lowering bugs live — an early kernel was wrong only at
+    B>8) is asserted by scripts/bench_fps.py on the real chip."""
     from pose2room_tpu.ops import sampling as S
 
-    xyz = jnp.asarray(rng.rand(2, 48, 3).astype(np.float32) * 3 - 1.5)
-    want = np.asarray(_fps_xla(xyz, 12))
-    got = S._fps_pallas(xyz, 12, interpret=True)
-    np.testing.assert_array_equal(np.asarray(got), want)
+    for B, N, m in [(2, 48, 12), (32, 64, 16)]:
+        xyz = jnp.asarray(rng.rand(B, N, 3).astype(np.float32) * 3 - 1.5)
+        want = np.asarray(_fps_xla(xyz, m))
+        got = S._fps_pallas(xyz, m, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), want)
 
 
 def test_ball_query_matches_reference(rng):
