@@ -33,7 +33,17 @@ except Exception:
 
 
 def main():
+    import argparse
     import jax
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--dtype", default="bfloat16", choices=["float32", "bfloat16"],
+        help="compute dtype; bf16 is the official bench config (accuracy "
+        "budget quantified in BENCH_NOTES.md)",
+    )
+    parser.add_argument("--batches", default="1,8,32,64,128")
+    args = parser.parse_args()
 
     try:
         platforms = jax.config.jax_platforms
@@ -44,7 +54,7 @@ def main():
 
     from pose2room_tpu.models import P2RNet, P2RNetConfig
 
-    model = P2RNet(config=P2RNetConfig())
+    model = P2RNet(config=P2RNetConfig(compute_dtype=args.dtype))
     key = jax.random.PRNGKey(0)
     init_x = np.zeros((1, 768, 53, 3), dtype=np.float32)
     # init eagerly on CPU (remote-compile paths make on-device init minutes slow)
@@ -74,7 +84,7 @@ def main():
     rng = np.random.RandomState(0)
     best = 0.0
     best_batch = 1
-    for batch in (1, 8, 32):
+    for batch in (int(b) for b in args.batches.split(",")):
         x = rng.randn(batch, 768, 53, 3).astype(np.float32) * 0.5
         x[..., 0] += np.linspace(0, 3, 768)[None, :, None]
         # pre-stage on device: measures chip throughput; a production input
@@ -99,7 +109,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"pose clips/sec/chip (P2RNet inference, batch={best_batch})",
+                "metric": (
+                    f"pose clips/sec/chip (P2RNet inference, "
+                    f"batch={best_batch}, {args.dtype})"
+                ),
                 "value": round(best, 2),
                 "unit": "clips/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

@@ -37,8 +37,12 @@ def _rot_y(theta):
     )
 
 
-def load_sample(path):
-    """Read one HDF5 sample into (joints, votes, instances)."""
+def load_sample(path, dtype=np.float64):
+    """Read one HDF5 sample into (joints, votes, instances).
+
+    The loader hot path passes ``dtype=float32`` (the on-disk dtype — no
+    promotion copy); instance boxes stay float64 (tiny, feed heading math).
+    """
     import h5py
 
     with h5py.File(path, "r") as f:
@@ -55,21 +59,30 @@ def load_sample(path):
                     "size": node["size"][:].astype(np.float64),
                 }
             )
-    return joints.astype(np.float64), votes.astype(np.float64), instances
+    return joints.astype(dtype, copy=False), votes.astype(dtype, copy=False), instances
 
 
 def augment_sample(joints, instances, votes, rng):
-    """Random flip / rotate / translate, mirroring dataloader.py:31-80."""
+    """Random flip / rotate / translate, mirroring dataloader.py:31-80.
+
+    Vectorized over the 3 vote slots in the arrays' own dtype (the loader
+    passes float32): one (F,V,3,3) matmul per transform instead of per-slot
+    Python slicing — this is the host hot path (SURVEY §3.4)."""
     if_flip = rng.randint(0, 2)
     rot_angle = rng.choice([-np.pi, -0.5 * np.pi, 0.0, 0.5 * np.pi])
     offset = np.array([1.0, 0.0, 1.0]) * rng.uniform(-1.0, 1.0)
-    rot_mat = _rot_y(rot_angle)
     n_frames, n_joints = votes.shape[:2]
+    flip_m = FLIP_MATRIX.astype(joints.dtype)
+    rot_mat = _rot_y(rot_angle).astype(joints.dtype)
+    # flatten to (F*V*3, 3) so every transform is ONE 2-D GEMM — numpy's
+    # batched (…,3,3) matmul dispatches tens of thousands of tiny GEMMs and
+    # is ~20x slower on this host hot path
+    vote_vecs = np.ascontiguousarray(votes[..., 1:]).reshape(-1, 3)
+    joints_flat = joints.reshape(-1, 3)
 
     if if_flip:
-        joints = joints @ FLIP_MATRIX
-        v = votes[..., 1:].reshape(n_frames, n_joints, 3, 3) @ FLIP_MATRIX
-        votes[..., 1:] = v.reshape(n_frames, n_joints, 9)
+        joints_flat = joints_flat @ flip_m
+        vote_vecs = vote_vecs @ flip_m
         for node in instances:
             node["centroid"] = node["centroid"] @ FLIP_MATRIX
             R = node["R_mat"] @ FLIP_MATRIX
@@ -77,19 +90,22 @@ def augment_sample(joints, instances, votes, rng):
             node["R_mat"] = R
 
     # rotate: votes are centroid offsets — rotate the absolute endpoints
-    ends = np.zeros_like(votes)
-    for k in range(3):
-        sl = slice(1 + 3 * k, 4 + 3 * k)
-        ends[..., sl] = (joints[..., 0:3] + votes[..., sl]) @ rot_mat
-    joints = joints @ rot_mat
-    for k in range(3):
-        sl = slice(1 + 3 * k, 4 + 3 * k)
-        votes[..., sl] = ends[..., sl] - joints[..., 0:3]
+    joint_anchor = np.repeat(
+        joints_flat.reshape(n_frames * n_joints, 1, 3), 3, axis=1
+    ).reshape(-1, 3)
+    ends = (joint_anchor + vote_vecs) @ rot_mat
+    joints_flat = joints_flat @ rot_mat
+    vote_vecs = ends - np.repeat(
+        joints_flat.reshape(n_frames * n_joints, 1, 3), 3, axis=1
+    ).reshape(-1, 3)
+    joints = joints_flat.reshape(n_frames, n_joints, 3)
+    votes = votes.copy()
+    votes[..., 1:] = vote_vecs.reshape(n_frames, n_joints, 9)
     for node in instances:
         node["centroid"] = node["centroid"] @ rot_mat
         node["R_mat"] = node["R_mat"] @ rot_mat
 
-    joints = joints + offset
+    joints = joints + offset.astype(joints.dtype)
     for node in instances:
         node["centroid"] = node["centroid"] + offset
     return joints, instances, votes
@@ -121,7 +137,26 @@ class P2RNetDataset:
 
     def __getitem__(self, idx, rng=None):
         path = self.paths[idx]
-        joints, votes, instances = load_sample(path)
+        joints, votes, instances = load_sample(path, dtype=np.float32)
+
+        # Subsample frames FIRST: the augmentation transform is identical for
+        # every frame (and leaves y untouched), so linspace-subsampling
+        # commutes with it bit-exactly — and the hot path then processes
+        # num_frames rows instead of the full clip.  The height-floor
+        # percentile is the one full-clip statistic (reference
+        # dataloader.py:112-115 computes it pre-subsample) — take it here;
+        # augmentation never changes y so the value carries through.
+        floor = (
+            np.percentile(joints[..., 1], 0.99) if self.use_height else None
+        )
+        frame_ids = (
+            np.linspace(0, joints.shape[0] - 1, self.num_frames)
+            .round()
+            .astype(np.int64)
+        )
+        joints = joints[frame_ids]
+        votes = votes[frame_ids]
+
         if self.augment:
             rng = rng or np.random
             joints, instances, votes = augment_sample(joints, instances, votes, rng)
@@ -142,7 +177,6 @@ class P2RNetDataset:
         boxes3D = np.array(boxes3D).reshape(-1, 8)
 
         if self.use_height:
-            floor = np.percentile(joints[..., 1], 0.99)
             height = joints[..., 1] - floor
             joints = np.concatenate([joints, height[..., None]], axis=-1)
 
@@ -160,12 +194,9 @@ class P2RNetDataset:
             sizes[:n] = boxes3D[:n, 3:6]
             headings[:n] = boxes3D[:n, 6:8]
 
-        frame_ids = (
-            np.linspace(0, joints.shape[0] - 1, self.num_frames).round().astype(np.int64)
-        )
-        input_joints = joints[frame_ids]
-        input_votes = votes[frame_ids, :, 1:]
-        votes_mask = votes[frame_ids, :, 0]
+        input_joints = joints
+        input_votes = votes[:, :, 1:]
+        votes_mask = votes[:, :, 0]
 
         return {
             "input_joints": input_joints.astype(np.float32),

@@ -187,6 +187,32 @@ class APCalculator:
         ret["AR"] = np.mean([r for r in rec_list if not np.isnan(r)]) if rec_list else 0.0
         return ret
 
+    def compute_metrics_w_mesh(self):
+        """Box AP plus voxel-occupancy ("mesh") AP, `_mesh`-suffixed
+        (reference ap_helper.py:84-125).  Requires scans accumulated with
+        voxel payloads: pred entries (cls, bbox, score, voxels), gt entries
+        (cls, bbox, voxels) — see eval/voxels.py."""
+        from pose2room_tpu.eval.voxels import eval_det_w_mesh
+
+        (rec, _prec, ap), (rec_m, _prec_m, ap_m) = eval_det_w_mesh(
+            self.pred_map_cls, self.gt_map_cls, ovthresh=self.ap_iou_thresh
+        )
+        ret = {}
+        for suffix, ap_d, rec_d in (("", ap, rec), ("_mesh", ap_m, rec_m)):
+            recs = []
+            for key in sorted(ap_d.keys()):
+                name = self.class2type_map[key] if self.class2type_map else str(key)
+                ret[f"{name} Average Precision{suffix}"] = ap_d[key]
+                r = rec_d[key][-1] if len(rec_d[key]) else 0
+                ret[f"{name} Recall{suffix}"] = r
+                recs.append(r)
+            vals = [v for v in ap_d.values() if not np.isnan(v)]
+            ret[f"mAP{suffix}"] = np.mean(vals) if vals else 0.0
+            ret[f"AR{suffix}"] = (
+                np.mean([r for r in recs if not np.isnan(r)]) if recs else 0.0
+            )
+        return ret
+
     def synchronize_between_processes(self, allgather=None):
         """Merge accumulated scans from all processes.
 

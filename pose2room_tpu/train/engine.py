@@ -16,17 +16,32 @@ from pose2room_tpu.train.state import apply_lr_schedule
 from pose2room_tpu.utils.logger import LossRecorder, LogBoard
 
 
-def device_prefetch(batches, mesh, depth=2):
+def device_prefetch(batches, mesh, depth=2, h2d_dtype=None):
     """Double-buffered H2D staging: enqueue batch k+1's device transfer
     before batch k's step is dispatched, so input upload overlaps the
     previous step's compute (device_put is async).  On a directly-attached
     host this is nearly free; through a slow dev tunnel it converts
-    step_time = transfer + compute into max(transfer, compute)."""
+    step_time = transfer + compute into max(transfer, compute).
+
+    ``h2d_dtype`` (e.g. 'float16', opt-in via ``train.h2d_dtype``) casts
+    float32 arrays on the host before upload, halving per-step transfer
+    bytes; the jitted step casts back to float32 on device.  Quantization
+    (~1e-3 relative on targets) slightly perturbs losses — keep it off when
+    exact reference numerics matter."""
     from collections import deque
+
+    cast_to = np.dtype(h2d_dtype) if h2d_dtype else None
+
+    def compress(x):
+        if cast_to is not None and isinstance(x, np.ndarray) and x.dtype == np.float32:
+            return x.astype(cast_to)
+        return x
 
     q = deque()
     for batch in batches:
-        arrays = {k: v for k, v in batch.items() if k != "sample_idx"}
+        arrays = {
+            k: compress(v) for k, v in batch.items() if k != "sample_idx"
+        }
         q.append(shard_batch(arrays, mesh))
         if len(q) >= depth:
             yield q.popleft()
@@ -46,6 +61,7 @@ def run_epoch(
     print_step=10,
     board=None,
     profile_ctx=None,
+    h2d_dtype=None,
 ):
     from pose2room_tpu.utils.profiling import StepTimer
 
@@ -75,7 +91,9 @@ def run_epoch(
 
     # host-side step counter: int(state.step) would force a device sync
     host_step = int(state.step)
-    for it, batch in enumerate(device_prefetch(iter(loader), mesh)):
+    for it, batch in enumerate(
+        device_prefetch(iter(loader), mesh, h2d_dtype=h2d_dtype)
+    ):
         rng = jax.random.fold_in(rng_key, epoch * 100000 + it)
         if profile_ctx is not None:
             profile_ctx.maybe_start(host_step)
@@ -149,6 +167,7 @@ def train(
 
     seed = cfg.config.get("seed", 42)
     rng_key = jax.random.fold_in(jax.random.PRNGKey(seed), jax.process_index())
+    h2d_dtype = cfg.config["train"].get("h2d_dtype")
 
     profile_steps = int(log_cfg.get("profile_steps", 0) or 0)
     profile_ctx = None
@@ -171,10 +190,11 @@ def train(
         state, train_rec = run_epoch(
             "train", epoch, train_loader, state, train_step, mesh,
             rng_key, log, print_step, board, profile_ctx,
+            h2d_dtype=h2d_dtype,
         )
         _, val_rec = run_epoch(
             "val", epoch, val_loader, state, eval_step, mesh,
-            rng_key, log, print_step, board,
+            rng_key, log, print_step, board, h2d_dtype=h2d_dtype,
         )
         log(f"Epoch {epoch + 1} elapsed: {time.time() - start:.2f}s")
         # jit losses over the globally-sharded batch are global means already,

@@ -27,6 +27,15 @@ GT_KEYS = (
 )
 
 
+def _decompress(batch):
+    """Cast H2D-compressed (float16) arrays back to float32 on device — the
+    inverse of engine.device_prefetch's opt-in transfer compression."""
+    return {
+        k: v.astype(jnp.float32) if v.dtype == jnp.float16 else v
+        for k, v in batch.items()
+    }
+
+
 def _gt_arrays(batch):
     return {k: batch[k] for k in GT_KEYS if k in batch}
 
@@ -36,6 +45,7 @@ def make_train_step(model, tx, origin_joint_id=0, log_grad_norm=True):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
+        batch = _decompress(batch)
         gt = _gt_arrays(batch)
 
         def loss_fn(params):
@@ -73,6 +83,7 @@ def make_eval_step(model, origin_joint_id=0):
 
     @jax.jit
     def eval_step(state: TrainState, batch, rng):
+        batch = _decompress(batch)
         gt = _gt_arrays(batch)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

@@ -40,6 +40,31 @@ def read_sample_scene(path):
     return nodes, room_bbox, joints
 
 
+def get_even_dist_joints(skeleton_joints, skip_rates):
+    """Frame ids evenly spaced by MOVEMENT DISTANCE, not time — the pose
+    subsampling the reference demo/GT viewers display
+    (vis_gt_vh.py:24-31)."""
+    frame_num = skeleton_joints.shape[0] // skip_rates + 1
+    move = np.linalg.norm(np.diff(skeleton_joints[:, 0], axis=0), axis=1)
+    cum = np.cumsum(np.hstack([[0], move]))
+    target = np.linspace(0, move.sum(), frame_num)
+    return np.argmin(np.abs(cum[:, None] - target), axis=0)
+
+
+def dist_node2bbox(nodes, joint_coordinates, joint_num):
+    """For each object, the frame whose pose is deepest inside (or nearest)
+    its bbox — the "interaction frame" picker (vis_gt_vh.py:14-22)."""
+    sk_ids = []
+    for node in nodes:
+        vecs = joint_coordinates - np.asarray(node["centroid"])
+        off = np.abs(vecs.dot(np.asarray(node["R_mat"]).T)) - (
+            np.asarray(node["size"]) / 2.0
+        )
+        dists = off.max(axis=-1).reshape(-1, joint_num).max(axis=-1)
+        sk_ids.append(int(dists.argmin()))
+    return np.sort(sk_ids)
+
+
 def class_palette(n=len(CLASS_LABELS)):
     """Evenly-spaced hue palette (stand-in for seaborn hls)."""
     import matplotlib.cm as cm
@@ -167,9 +192,10 @@ def render_room(
         joints = np.asarray(joints)
         draw_trajectory(ax, joints[:, 0])
         if skeleton_every > 0:
-            frames = range(0, len(joints), skeleton_every)
-            colors = cm.Spectral_r(np.linspace(0, 1, len(list(frames)) or 1))
-            for c, fidx in zip(colors, range(0, len(joints), skeleton_every)):
+            # evenly spaced by movement distance, like the reference viewers
+            frames = get_even_dist_joints(joints, skeleton_every)
+            colors = cm.Spectral_r(np.linspace(0, 1, max(len(frames), 1)))
+            for c, fidx in zip(colors, frames):
                 draw_skeleton(ax, joints[fidx], c)
 
     if title:

@@ -194,3 +194,32 @@ def test_allgather_object_single_process():
     obj = {"a": np.arange(3), "b": "x"}
     out = allgather_object(obj)
     assert len(out) == 1 and out[0] is obj
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_h2d_float16_compression(rng):
+    """Opt-in f16 transfer compression: arrays upload as float16 and the
+    jitted step decompresses, giving a loss close to the f32 path."""
+    from pose2room_tpu.train.engine import device_prefetch
+
+    model = P2RNet(config=TINY)
+    key = jax.random.PRNGKey(0)
+    sample = np.zeros((8, TINY.num_frames, 53, 3), dtype=np.float32)
+    state, tx, _ = create_train_state(model, key, sample, {"lr": 1e-3})
+    eval_step = make_eval_step(model)
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    batch = _batch(rng, 8, TINY)
+
+    (staged_f32,) = list(device_prefetch(iter([batch]), mesh))
+    (staged_f16,) = list(
+        device_prefetch(iter([batch]), mesh, h2d_dtype="float16")
+    )
+    assert staged_f16["vote_label"].dtype == jnp.float16
+    assert staged_f16["sem_cls_label"].dtype == staged_f32["sem_cls_label"].dtype
+
+    l32 = eval_step(state, staged_f32, key)
+    l16 = eval_step(state, staged_f16, key)
+    np.testing.assert_allclose(
+        float(l32["total"]), float(l16["total"]), rtol=5e-3
+    )

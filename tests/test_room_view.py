@@ -113,3 +113,29 @@ def test_render_results_cli_ply_overlay(tmp_path, sample_file):
     )
     assert proc.returncode == 0, proc.stderr
     assert out.is_file()
+
+
+def test_even_dist_joints_and_interaction_frames(rng):
+    from pose2room_tpu.utils.room_view import (
+        dist_node2bbox,
+        get_even_dist_joints,
+    )
+
+    # hip moves fast early, then stands still: distance-even sampling must
+    # concentrate frames in the moving part
+    F = 100
+    hips = np.zeros((F, 3))
+    hips[:50, 0] = np.linspace(0, 10, 50)
+    hips[50:, 0] = 10.0
+    joints = np.repeat(hips[:, None, :], 53, axis=1)
+    ids = get_even_dist_joints(joints, skip_rates=10)
+    assert len(ids) == F // 10 + 1
+    assert (ids <= 52).sum() >= len(ids) - 2  # nearly all in the moving half
+    assert ids[0] == 0 and ids[-1] >= 49
+
+    # interaction frame: pose 30 sits inside the node's bbox
+    joints2 = rng.randn(40, 53, 3) + 100.0
+    joints2[30] = rng.randn(53, 3) * 0.05
+    node = {"centroid": np.zeros(3), "size": np.ones(3), "R_mat": np.eye(3)}
+    got = dist_node2bbox([node], joints2.reshape(-1, 3), 53)
+    assert list(got) == [30]
