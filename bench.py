@@ -42,7 +42,9 @@ def main():
         help="compute dtype; bf16 is the official bench config (accuracy "
         "budget quantified in BENCH_NOTES.md)",
     )
-    parser.add_argument("--batches", default="1,8,32,64,128")
+    # default sweep skips 8/64: each extra batch size costs a full remote
+    # compile (~1-3 min through the dev tunnel) and 128 wins (BENCH_NOTES.md)
+    parser.add_argument("--batches", default="1,32,128")
     args = parser.parse_args()
 
     try:

@@ -19,11 +19,51 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices=None, axis_name="data"):
-    """1-D data-parallel mesh over all (or the given) devices."""
+def make_mesh(devices=None, axis_name="data", model_parallel=1):
+    """Device mesh: 1-D data-parallel by default; with ``model_parallel`` > 1
+    a 2-D ('data', 'model') mesh for GSPMD tensor parallelism.
+
+    Beyond-reference capability: the reference's only strategy is DDP
+    (SURVEY §2.11).  Here the model axis shards large kernels' output dims
+    (see ``shard_params``); XLA/GSPMD inserts the all-gathers/reduce-scatters
+    over ICI — no explicit collective code.
+    """
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+    if model_parallel <= 1:
+        return Mesh(np.asarray(devices), (axis_name,))
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (axis_name, "model"))
+
+
+def shard_params(tree, mesh, min_size=1 << 14, model_axis="model"):
+    """Tensor-parallel parameter placement over the mesh's model axis.
+
+    Large (>= min_size elements) kernels whose output dim divides the model
+    axis are sharded on that dim; everything else (biases, small kernels, BN
+    state) is replicated.  GSPMD propagates the layouts through the jitted
+    step and inserts the matching collectives, so this single placement
+    function IS the tensor-parallel implementation.
+    """
+    if model_axis not in mesh.axis_names:
+        return replicate(tree, mesh)
+    tp = mesh.shape[model_axis]
+
+    def placement(x):
+        if (
+            hasattr(x, "ndim")
+            and x.ndim >= 2
+            and x.shape[-1] % tp == 0
+            and x.size >= min_size
+        ):
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1)), model_axis)
+            )
+        return replicated_sharding(mesh)
+
+    return jax.tree.map(lambda x: jax.device_put(x, placement(x)), tree)
 
 
 def batch_sharding(mesh, axis_name="data"):
@@ -49,7 +89,7 @@ def shard_batch(batch, mesh, axis_name="data"):
     analogue of DDP's "each rank feeds its own DistributedSampler shard"
     (reference models/p2rnet/dataloader.py:179-180).
     """
-    n_dev = mesh.devices.size
+    n_shard = mesh.shape[axis_name]  # split count = data-axis size only
     sharded = batch_sharding(mesh, axis_name)
     replicated = replicated_sharding(mesh)
     multihost = jax.process_count() > 1
@@ -58,10 +98,10 @@ def shard_batch(batch, mesh, axis_name="data"):
         if not isinstance(x, np.ndarray):
             return x
         if multihost:
-            if x.shape and (x.shape[0] * jax.process_count()) % n_dev == 0:
+            if x.shape and (x.shape[0] * jax.process_count()) % n_shard == 0:
                 return jax.make_array_from_process_local_data(sharded, x)
             return multihost_replicate(x, mesh)
-        s = sharded if x.shape and x.shape[0] % n_dev == 0 else replicated
+        s = sharded if x.shape and x.shape[0] % n_shard == 0 else replicated
         return jax.device_put(x, s)
 
     return {k: put(v) for k, v in batch.items()}

@@ -52,7 +52,11 @@ def setup(cfg, mode):
     """Returns (model, state, tx, opt_info, mesh, checkpoint, start_epoch, min_loss)."""
     mount_external_config(cfg)
     model = build_model(cfg)
-    mesh = make_mesh()
+    # device.model_parallel: optional tensor-parallel degree — a 2-D
+    # ('data','model') mesh with large kernels sharded over 'model'
+    # (beyond the reference's DP-only recipe; see parallel/mesh.py)
+    tp = int(cfg.config.get("device", {}).get("model_parallel", 1) or 1)
+    mesh = make_mesh(model_parallel=tp)
 
     mc = model.config
     sample = np.zeros((1, mc.num_frames, mc.num_joints, 3), dtype=np.float32)
@@ -82,5 +86,10 @@ def setup(cfg, mode):
             cfg.log_string(f"Loading weights from {w}")
             state = checkpoint.load_weights(w, state)
 
-    state = replicate(state, mesh)
+    if tp > 1:
+        from pose2room_tpu.parallel import shard_params
+
+        state = shard_params(state, mesh)
+    else:
+        state = replicate(state, mesh)
     return model, state, tx, opt_info, mesh, checkpoint, start_epoch, min_loss

@@ -223,3 +223,45 @@ def test_h2d_float16_compression(rng):
     np.testing.assert_allclose(
         float(l32["total"]), float(l16["total"]), rtol=5e-3
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tensor_parallel_train_step_matches_single_device(rng):
+    """2-D (data=4, model=2) mesh: GSPMD tensor parallelism over the large
+    kernels must reproduce the single-device step (beyond-reference
+    capability — the reference only has DDP)."""
+    from pose2room_tpu.parallel import make_mesh, shard_params
+
+    model = P2RNet(config=TINY)
+    key = jax.random.PRNGKey(0)
+    sample = np.zeros((8, TINY.num_frames, 53, 3), dtype=np.float32)
+    state, tx, _ = create_train_state(model, key, sample, {"lr": 1e-3})
+    train_step = make_train_step(model, tx, log_grad_norm=False)
+    batch = _batch(rng, 8, TINY)
+
+    dev0 = jax.devices()[0]
+    state_1 = jax.tree.map(lambda x: jnp.array(x), state)
+    batch_1 = {k: jax.device_put(v, dev0) for k, v in batch.items()}
+    new_1, losses_1 = train_step(state_1, batch_1, key)
+
+    mesh = make_mesh(model_parallel=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+    state_tp = shard_params(state, mesh)
+    # at least one kernel is genuinely sharded over the model axis
+    specs = [
+        x.sharding.spec
+        for x in jax.tree.leaves(state_tp.params)
+        if hasattr(x, "sharding") and isinstance(x.sharding, jax.sharding.NamedSharding)
+    ]
+    assert any("model" in (s or ()) for s in specs), specs
+    batch_tp = shard_batch(batch, mesh)
+    new_tp, losses_tp = train_step(state_tp, batch_tp, key)
+
+    np.testing.assert_allclose(
+        float(losses_1["total"]), float(losses_tp["total"]), rtol=1e-5
+    )
+    flat_1 = jax.tree.leaves(jax.device_get(new_1.params))
+    flat_tp = jax.tree.leaves(jax.device_get(new_tp.params))
+    for a, b in zip(flat_1, flat_tp):
+        np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-3)
