@@ -69,26 +69,40 @@ def _device_parse(
     return corners, aabb, obj_prob, sem_cls_probs, pred_sem_cls, heading, size, nonempty
 
 
-def parse_predictions(end_points, gt_data, config_dict, rng=None):
+def parse_predictions_device(end_points, gt_data, config_dict):
+    """Dispatch the fused device half of parse_predictions WITHOUT fetching.
+
+    Returns the tuple of device arrays from ``_device_parse`` (dispatch is
+    async, so the caller can overlap the device compute with host work for a
+    previous batch — runners/test.py pipelines on this split).
+    """
+    dataset_config = config_dict["dataset_config"]
+    return _device_parse(
+        end_points["center"],
+        end_points["size"],
+        end_points["heading"],
+        end_points["sem_cls_scores"],
+        end_points["objectness_scores"],
+        gt_data["input_joints"],
+        remove_far_box=bool(config_dict.get("remove_far_box", True)),
+        contact_dist_thresh=float(dataset_config.contact_dist_thresh),
+        origin_joint_id=int(dataset_config.origin_joint_id),
+    )
+
+
+def parse_predictions(end_points, gt_data, config_dict, rng=None, _device_out=None):
     """Parse network outputs into corner boxes + NMS survival mask.
 
     Args/returns mirror ap_helper.py:parse_predictions: returns
     (eval_dict{'pred_mask'}, parsed{'pred_corners_3d','sem_cls_probs',
-    'obj_prob','pred_sem_cls'}).
+    'obj_prob','pred_sem_cls'}).  ``_device_out`` accepts a pre-dispatched
+    ``parse_predictions_device`` result (pipelined callers); when absent the
+    device half is dispatched (and waited on) here.
     """
-    dataset_config = config_dict["dataset_config"]
     corners, aabb, obj_prob, sem_probs, pred_sem_cls, heading, size, nonempty = (
-        _device_parse(
-            end_points["center"],
-            end_points["size"],
-            end_points["heading"],
-            end_points["sem_cls_scores"],
-            end_points["objectness_scores"],
-            gt_data["input_joints"],
-            remove_far_box=bool(config_dict.get("remove_far_box", True)),
-            contact_dist_thresh=float(dataset_config.contact_dist_thresh),
-            origin_joint_id=int(dataset_config.origin_joint_id),
-        )
+        _device_out
+        if _device_out is not None
+        else parse_predictions_device(end_points, gt_data, config_dict)
     )
     corners = np.asarray(corners)
     aabb = np.asarray(aabb)
@@ -146,10 +160,15 @@ def _gt_corners(center, size_log, heading_sincos):
     return box_corners_from_params(center, size, heading, xp=jnp)
 
 
-def parse_groundtruths(gt_data, config_dict=None):
+def parse_groundtruths_device(gt_data):
+    """Dispatch GT corner building without fetching (see parse_predictions_device)."""
+    return _gt_corners(gt_data["center_label"], gt_data["size"], gt_data["heading"])
+
+
+def parse_groundtruths(gt_data, config_dict=None, _device_out=None):
     """GT corner boxes from the padded labels (ap_helper.py:257-292)."""
     corners = np.asarray(
-        _gt_corners(gt_data["center_label"], gt_data["size"], gt_data["heading"])
+        _device_out if _device_out is not None else parse_groundtruths_device(gt_data)
     )
     mask = np.asarray(gt_data["box_label_mask"])
     corners = corners * mask[:, :, None, None]  # zero out padding rows

@@ -10,7 +10,9 @@ from pose2room_tpu.data import P2RNetDataset, DataLoader
 from pose2room_tpu.eval import (
     APCalculator,
     parse_predictions,
+    parse_predictions_device,
     parse_groundtruths,
+    parse_groundtruths_device,
     assembly_pred_map_cls,
     assembly_gt_map_cls,
 )
@@ -89,33 +91,30 @@ def run(cfg):
     dump_threshold = cfg.config.get("generation", {}).get("dump_threshold", 0.5)
 
     start = time.time()
-    for it, batch in enumerate(loader):
-        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-        t0 = time.time()
-        end_points = generate(
-            state, arrays["input_joints"], jax.random.fold_in(gen_key, it)
+    n_batches = len(loader)
+
+    def host_stage(item):
+        """Fetch + NMS + AP accumulation for an already-dispatched batch.
+
+        Runs while the NEXT batch's generate/parse/loss execute on device
+        (all dispatches are async), so host post-processing overlaps device
+        compute — a software pipeline the reference's serial per-batch loop
+        (test_epoch.py) leaves on the table.
+        """
+        it, batch, arrays, end_points, dev_parse, dev_gt, losses, t0 = item
+        eval_dict, parsed = parse_predictions(
+            end_points, arrays, cfg.eval_config, _device_out=dev_parse
         )
-        eval_dict, parsed = parse_predictions(end_points, arrays, cfg.eval_config)
         eval_dict = assembly_pred_map_cls(eval_dict, parsed, cfg.eval_config)
-        parsed_gts = parse_groundtruths(arrays)
+        parsed_gts = parse_groundtruths(arrays, _device_out=dev_gt)
         gt_map = assembly_gt_map_cls(parsed_gts)
-        losses = jitted_loss(
-            {k: v for k, v in end_points.items() if k != "pi"},
-            {
-                k: arrays[k]
-                for k in (
-                    "center_label", "box_label_mask", "size", "heading",
-                    "sem_cls_label", "vote_label", "vote_label_mask",
-                )
-            },
-        )
         recorder.update_loss(
             {k: float(v) for k, v in jax.device_get(losses).items()}
         )
         for t in thresholds:
             ap_calculators[t].step(eval_dict["batch_pred_map_cls"], gt_map)
         cfg.log_string(
-            f"Test batch {it + 1}/{len(loader)}: {time.time() - t0:.3f}s"
+            f"Test batch {it + 1}/{n_batches}: {time.time() - t0:.3f}s"
         )
         if dump and cfg.is_main_process:
             dump_dir = os.path.join(
@@ -126,6 +125,32 @@ def run(cfg):
                 dump_dir, end_points, eval_dict, parsed,
                 gt_data=arrays, dump_threshold=dump_threshold,
             )
+
+    pending = None
+    for it, batch in enumerate(loader):
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        t0 = time.time()
+        end_points = generate(
+            state, arrays["input_joints"], jax.random.fold_in(gen_key, it)
+        )
+        dev_parse = parse_predictions_device(end_points, arrays, cfg.eval_config)
+        dev_gt = parse_groundtruths_device(arrays)
+        losses = jitted_loss(
+            {k: v for k, v in end_points.items() if k != "pi"},
+            {
+                k: arrays[k]
+                for k in (
+                    "center_label", "box_label_mask", "size", "heading",
+                    "sem_cls_label", "vote_label", "vote_label_mask",
+                )
+            },
+        )
+        item = (it, batch, arrays, end_points, dev_parse, dev_gt, losses, t0)
+        if pending is not None:
+            host_stage(pending)
+        pending = item
+    if pending is not None:
+        host_stage(pending)
 
     cfg.log_string(f"Test total elapsed: {time.time() - start:.2f}s")
     # multi-host: union shard-local AP state and loss counters so the
