@@ -36,6 +36,9 @@ class P2RNetConfig:
     num_joints: int = 53
     origin_joint_id: int = 0
     compute_dtype: str = "float32"  # 'bfloat16' doubles MXU throughput
+    # fused Pallas ST-GCN eval chain (bf16-only; ops/stgcn_fused.py); the
+    # flag exists for A/B measurement and equivalence tests
+    fused_eval: bool = True
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -44,6 +47,7 @@ class P2RNetConfig:
         model_cfg = cfg.config.get("model", {}) or {}
         return cls(
             compute_dtype=model_cfg.get("compute_dtype", "float32"),
+            fused_eval=model_cfg.get("fused_eval", True),
             num_frames=data.get("num_frames", 768),
             num_seeds=data.get("num_seeds", 512),
             seed_sampling=data.get("seed_sampling", "uniform"),
@@ -73,6 +77,7 @@ class P2RNet(nn.Module):
             num_joints=c.num_joints,
             seed_sampling=c.seed_sampling,
             dtype=dtype,
+            fused_eval=c.fused_eval,
             name="backbone",
         )
         self.centervoting = CenterVote(

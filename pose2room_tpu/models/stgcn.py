@@ -62,6 +62,9 @@ class STGCN(nn.Module):
     out_channels: int = 256
     max_hop: int = 5
     dtype: object = None
+    # fused Pallas block chain for bf16 eval (ops/stgcn_fused.py); off ->
+    # always run the per-block module path (used by equivalence tests)
+    fused_eval: bool = True
 
     def setup(self):
         self.A = jnp.asarray(
@@ -72,16 +75,20 @@ class STGCN(nn.Module):
         self.sk_feat = MLP1x1([64, 64, self.in_channels], dtype=self.dtype, name="sk_feat")
         blocks = []
         channels = [64, 64, 64, 64, 64, self.out_joint_channels]
+        in_ch = self.in_channels
         for i, ch in enumerate(channels):
             blocks.append(
                 STGCNBlock(
                     out_channels=ch,
                     spatial_kernel_size=K,
+                    in_channels=in_ch,
+                    num_joints=self.num_joints,
                     residual=(i != 0),
                     dtype=self.dtype,
                     name=f"gcn{i}",
                 )
             )
+            in_ch = ch
         self.blocks = blocks
         self.edge_importance = [
             self.param(f"edge_importance{i}", nn.initializers.ones, self.A.shape)
@@ -125,13 +132,59 @@ class STGCN(nn.Module):
         feat = self.sk_feat(x, train=train)  # (B,T,V,C)
         h = feat + pos[:, :, None, :]
 
-        for block, importance in zip(self.blocks, self.edge_importance):
-            h = block(h, self.A * importance, train=train)
+        # Eval in bf16 takes the fused block chain: all six blocks run as
+        # Pallas kernels over a lane-padded merged (B,T,V*C) layout — no
+        # per-block (V,C)<->(V*C) relayout copies, BN/residual epilogues
+        # fused in-VMEM (ops/stgcn_fused.py; ~36% of generate time measured
+        # as pure overhead on the unfused path, BENCH_NOTES.md).  Off-TPU
+        # the same folded operands run through the bit-equivalent jnp form.
+        use_fused = (
+            self.fused_eval
+            and not train
+            and self.dtype == jnp.bfloat16
+            and all(b.fusable for b in self.blocks)
+        )
+        if use_fused:
+            from pose2room_tpu.ops.stgcn_fused import (
+                fused_stgcn_layer,
+                pad_merged,
+                stgcn_layer_merged_ref,
+            )
 
-        # flatten joints -> per-frame features. NOTE channel order is (v, c)
-        # here vs the reference's (c, v) (stgcn.py:137-138) — a weight
-        # converter must permute conv_joint accordingly.
-        h = h.reshape(B, T, V * h.shape[-1])
+            C = h.shape[-1]
+            W0 = V * C
+            Wp = pad_merged(W0)
+            hm = jnp.pad(
+                h.astype(jnp.bfloat16).reshape(B, T, W0),
+                ((0, 0), (0, 0), (0, Wp - W0)),
+            )
+            operands = [hm]
+            for blk, imp in zip(self.blocks, self.edge_importance):
+                operands.extend(blk.fold_eval_arrays(self.A * imp))
+            residuals = tuple(blk.residual for blk in self.blocks)
+
+            def _chain(layer_fn):
+                def run(hm, *flat):
+                    for i, res in enumerate(residuals):
+                        M, vecs, KB = flat[3 * i : 3 * i + 3]
+                        hm = layer_fn(hm, M, vecs, KB, residual=res)
+                    return hm
+
+                return run
+
+            hm = jax.lax.platform_dependent(
+                *operands,
+                tpu=_chain(fused_stgcn_layer),
+                default=_chain(stgcn_layer_merged_ref),
+            )
+            h = hm[..., :W0]
+        else:
+            for block, importance in zip(self.blocks, self.edge_importance):
+                h = block(h, self.A * importance, train=train)
+            # flatten joints -> per-frame features. NOTE channel order is
+            # (v, c) here vs the reference's (c, v) (stgcn.py:137-138) — a
+            # weight converter must permute conv_joint accordingly.
+            h = h.reshape(B, T, V * h.shape[-1])
         frame_feat = self.conv_joint(h).astype(jnp.float32)  # (B,T,256)
 
         seed_skeleton = jnp.take_along_axis(

@@ -1,0 +1,192 @@
+"""Fused ST-GCN block epilogue kernel for the TPU eval path.
+
+One st-gcn block at inference is, in our folded form (models/layers.py):
+
+    y1 = x @ M                      # graph conv, M = A folded into weights
+    t1 = relu(y1 * s1 + b1')        # eval BatchNorm == affine (+ gcn bias
+                                    #   folded: b1' = bias_out*s1 + b1)
+    y2 = temporal_conv3(t1)         # (3,1) conv over T, per-joint C->C
+    out = relu(y2 * s2 + b2' + x)   # eval BN + residual (+ conv bias
+                                    #   folded: b2' = b2 + conv_bias*s2)
+
+Run as separate XLA ops at batch 128 this costs ~36% of generate time in
+pure overhead (profiled, BENCH_NOTES.md): two physical layout copies per
+block for the (V,C) <-> (V*C) reshape around the matmul (the merged 3392
+axis is not lane-aligned as (53,64)), plus unfused BN/ReLU/convert loop
+fusions, because TPU XLA does not fuse elementwise epilogues into dots.
+
+The division of labor here is deliberate and benchmark-driven:
+
+* The big (B*T, 3456) x (3456, 3456) matmul STAYS IN XLA, where it runs at
+  ~92% of the bf16 MXU peak — a first all-in-one Pallas version that also
+  did the matmul measured ~3x lower MXU utilization because the per-tile
+  VPU epilogue serialized against the systolic array.
+* Everything after the matmul runs as ONE Pallas kernel over the merged,
+  lane-padded layout, so the (V,C) reshape copies never materialize and
+  the BN/ReLU/residual chains cost a single VMEM pass.
+* The temporal (3,1) conv is column-local in the merged layout: a
+  128-column tile is exactly 128/C joints' channels, so it becomes three
+  128x128 block-diagonal matmuls over row-shifted tiles (pltpu.roll in
+  f32 + first/last row masking implements SAME padding at clip edges —
+  tiles are whole clips, so batch boundaries never cross a tile).
+
+Padding contract: the merged width 3392 = 53*64 is padded to 3456 = 27*128.
+Padded M rows/cols and padded affine entries are ZERO, so padded columns
+stay exactly zero through the whole six-block chain.
+
+Reference semantics: models/p2rnet/modules/stgcn_layers.py:362-439 (block
+structure), with BN folded to affine exactly as eval-mode BatchNorm does.
+`stgcn_layer_merged_ref` is the equivalent pure-jnp form used as the
+non-TPU branch of lax.platform_dependent and as the golden reference in
+tests/test_stgcn_fused.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def pad_merged(width):
+    """Merged width rounded up to a lane multiple (3392 -> 3456)."""
+    return ((width + LANE - 1) // LANE) * LANE
+
+
+def _graph_matmul(x, M):
+    """(B, T, Wp) @ (Wp, Wp) on the MXU, bf16 in, f32 out.
+
+    The f32 output costs one extra pass of HBM traffic vs bf16 but keeps
+    the accumulator exact into the BN1 affine — rounding y1 to bf16
+    measurably moved mAP through discrete FPS reselection (BENCH_NOTES.md),
+    so the epilogue consumes the same f32 values the module path would.
+    """
+    return jnp.einsum(
+        "bti,io->bto",
+        x,
+        M,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _epilogue_kernel(y1_ref, x_ref, vec_ref, kb_ref, out_ref, *, residual):
+    """BN1-ReLU-tconv-BN2-residual-ReLU for one (clip, column-tile) cell.
+
+    y1_ref:  (T, 128) bf16 — graph-conv output tile.
+    x_ref:   (T, 128) bf16 — block input tile (identity residual).
+    vec_ref: (8, 128) f32 — rows [s1, b1', s2, b2', 0, 0, 0, 0].
+    kb_ref:  (3, 128, 128) bf16 — temporal taps as block-diagonal matrices;
+             tap s applies to row t+s-1 (SAME padding).
+    out_ref: (T, 128) bf16.
+    """
+    s1 = vec_ref[0:1, :]
+    b1 = vec_ref[1:2, :]
+    t1f = jnp.maximum(y1_ref[...].astype(jnp.float32) * s1 + b1, 0.0)
+
+    # Row shifts run in f32 (Mosaic's sublane rotate has no sub-32-bit
+    # lowering); the bf16 cast for the MXU happens after.
+    T = t1f.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 0)
+    zero = jnp.zeros_like(t1f)
+    prev = jnp.where(rows == 0, zero, pltpu.roll(t1f, 1, axis=0))
+    # pltpu.roll requires a non-negative shift: roll by T-1 == roll by -1
+    nxt = jnp.where(rows == T - 1, zero, pltpu.roll(t1f, T - 1, axis=0))
+    y2 = (
+        jnp.dot(
+            prev.astype(jnp.bfloat16), kb_ref[0],
+            preferred_element_type=jnp.float32,
+        )
+        + jnp.dot(
+            t1f.astype(jnp.bfloat16), kb_ref[1],
+            preferred_element_type=jnp.float32,
+        )
+        + jnp.dot(
+            nxt.astype(jnp.bfloat16), kb_ref[2],
+            preferred_element_type=jnp.float32,
+        )
+    )
+
+    s2 = vec_ref[2:3, :]
+    b2 = vec_ref[3:4, :]
+    out = y2 * s2 + b2
+    if residual:
+        out = out + x_ref[...].astype(jnp.float32)
+    out_ref[...] = jnp.maximum(out, 0.0).astype(jnp.bfloat16)
+
+
+def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
+    """One st-gcn block over merged activations: XLA matmul + fused epilogue.
+
+    Args:
+        x: (B, T, Wp) bfloat16, Wp a multiple of 128, padded columns zero.
+        M: (Wp, Wp) bfloat16 folded graph-conv matrix (padding rows/cols 0).
+        vecs: (8, Wp) float32 — rows [s1, b1', s2, b2', *unused] (see
+            models/layers.py:STGCNBlock.fold_eval_arrays for the folding).
+        KB: (3, 128, 128) bfloat16 block-diagonal temporal taps.
+        residual: static; identity residual on/off (block 0 has none).
+    Returns:
+        (B, T, Wp) bfloat16.
+    """
+    B, T, Wp = x.shape
+    assert Wp % LANE == 0 and M.shape == (Wp, Wp), (x.shape, M.shape)
+    y1 = _graph_matmul(x, M).reshape(B * T, Wp)
+    x2 = x.reshape(B * T, Wp)
+    kernel = functools.partial(_epilogue_kernel, residual=residual)
+    tile = pl.BlockSpec((T, LANE), lambda b, j: (b, j), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Wp // LANE),
+        in_specs=[
+            tile,
+            tile,
+            pl.BlockSpec((8, LANE), lambda b, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (3, LANE, LANE), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tile,
+        out_shape=jax.ShapeDtypeStruct((B * T, Wp), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * T * Wp * LANE,
+            bytes_accessed=3 * B * T * Wp * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(y1, x2, vecs, KB)
+    return out.reshape(B, T, Wp)
+
+
+def stgcn_layer_merged_ref(x, M, vecs, KB, *, residual):
+    """Pure-jnp reference of the fused layer (same operands, same math).
+
+    Used as the non-TPU branch of lax.platform_dependent and as the golden
+    reference for the kernel tests.  Shapes as in fused_stgcn_layer.
+    """
+    B, T, Wp = x.shape
+    y1 = _graph_matmul(x, M)
+    s1, b1, s2, b2 = (vecs[i][None, None, :] for i in range(4))
+    t1f = jnp.maximum(y1.astype(jnp.float32) * s1 + b1, 0.0)
+    zero = jnp.zeros_like(t1f[:, :1])
+    prev = jnp.concatenate([zero, t1f[:, :-1]], axis=1)
+    nxt = jnp.concatenate([t1f[:, 1:], zero], axis=1)
+    # temporal taps act per 128-column group, same block-diagonal structure
+    # the kernel uses per column tile
+    G = Wp // LANE
+    taps = KB.astype(jnp.bfloat16)
+
+    def tconv(h, tap):
+        return jnp.einsum(
+            "btgk,ko->btgo",
+            h.astype(jnp.bfloat16).reshape(B, T, G, LANE),
+            tap,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, T, Wp)
+
+    y2 = tconv(prev, taps[0]) + tconv(t1f, taps[1]) + tconv(nxt, taps[2])
+    out = y2 * s2 + b2
+    if residual:
+        out = out + x.astype(jnp.float32)
+    return jnp.maximum(out, 0.0).astype(jnp.bfloat16)
