@@ -56,39 +56,46 @@ def pad_merged(width):
     return ((width + LANE - 1) // LANE) * LANE
 
 
-def _graph_matmul(x, M):
-    """(B, T, Wp) @ (Wp, Wp) on the MXU, bf16 in, f32 out.
+def _graph_matmul_bn_relu(x, M, s1, b1):
+    """Graph matmul + BN1 affine + ReLU + bf16 cast, all in one XLA fusion.
 
-    The f32 output costs one extra pass of HBM traffic vs bf16 but keeps
-    the accumulator exact into the BN1 affine — rounding y1 to bf16
-    measurably moved mAP through discrete FPS reselection (BENCH_NOTES.md),
-    so the epilogue consumes the same f32 values the module path would.
+    The dot keeps an f32 accumulator (rounding it to bf16 before the BN1
+    affine measurably moved mAP through discrete FPS reselection,
+    BENCH_NOTES.md); XLA fuses the affine/relu/cast into the dot's output
+    fusion — the historical barrier to that fusion was the (V,C) reshape
+    between the dot and the BN, which the merged layout removes — so t1
+    hits HBM as bf16: the downstream Pallas epilogue reads 4x less than it
+    would reading the f32 accumulator, and this matches the module path's
+    rounding point exactly (tcn_conv consumes bf16 there too).
     """
-    return jnp.einsum(
+    y1 = jnp.einsum(
         "bti,io->bto",
         x,
         M,
         preferred_element_type=jnp.float32,
     )
+    return jnp.maximum(y1 * s1[None, None, :] + b1[None, None, :], 0.0).astype(
+        jnp.bfloat16
+    )
 
 
-def _epilogue_kernel(y1_ref, x_ref, vec_ref, kb_ref, out_ref, *, residual):
-    """BN1-ReLU-tconv-BN2-residual-ReLU for one (clip, column-tile) cell.
+def _epilogue_kernel(t1_ref, x_ref, vec_ref, kb_ref, out_ref, *, residual):
+    """tconv-BN2-residual-ReLU for one (clip, column-tile) cell.
 
-    y1_ref:  (T, 128) bf16 — graph-conv output tile.
+    t1_ref:  (T, 128) bf16 — relu(BN1(graph conv)) tile (from XLA).
     x_ref:   (T, 128) bf16 — block input tile (identity residual).
-    vec_ref: (8, 128) f32 — rows [s1, b1', s2, b2', 0, 0, 0, 0].
+    vec_ref: (8, 128) f32 — rows [s1, b1', s2, b2', 0...]; only s2/b2'
+             are used here (s1/b1' are folded into the XLA matmul fusion).
     kb_ref:  (3, 128, 128) bf16 — temporal taps as block-diagonal matrices;
              tap s applies to row t+s-1 (SAME padding).
     out_ref: (T, 128) bf16.
     """
-    s1 = vec_ref[0:1, :]
-    b1 = vec_ref[1:2, :]
-    t1f = jnp.maximum(y1_ref[...].astype(jnp.float32) * s1 + b1, 0.0)
+    t1 = t1_ref[...]
 
     # Row shifts run in f32 (Mosaic's sublane rotate has no sub-32-bit
-    # lowering); the bf16 cast for the MXU happens after.
-    T = t1f.shape[0]
+    # lowering); the bf16 cast back for the MXU is value-exact.
+    t1f = t1.astype(jnp.float32)
+    T = t1.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 0)
     zero = jnp.zeros_like(t1f)
     prev = jnp.where(rows == 0, zero, pltpu.roll(t1f, 1, axis=0))
@@ -99,10 +106,7 @@ def _epilogue_kernel(y1_ref, x_ref, vec_ref, kb_ref, out_ref, *, residual):
             prev.astype(jnp.bfloat16), kb_ref[0],
             preferred_element_type=jnp.float32,
         )
-        + jnp.dot(
-            t1f.astype(jnp.bfloat16), kb_ref[1],
-            preferred_element_type=jnp.float32,
-        )
+        + jnp.dot(t1, kb_ref[1], preferred_element_type=jnp.float32)
         + jnp.dot(
             nxt.astype(jnp.bfloat16), kb_ref[2],
             preferred_element_type=jnp.float32,
@@ -132,7 +136,7 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
     """
     B, T, Wp = x.shape
     assert Wp % LANE == 0 and M.shape == (Wp, Wp), (x.shape, M.shape)
-    y1 = _graph_matmul(x, M).reshape(B * T, Wp)
+    t1 = _graph_matmul_bn_relu(x, M, vecs[0], vecs[1]).reshape(B * T, Wp)
     x2 = x.reshape(B * T, Wp)
     kernel = functools.partial(_epilogue_kernel, residual=residual)
     tile = pl.BlockSpec((T, LANE), lambda b, j: (b, j), memory_space=pltpu.VMEM)
@@ -155,7 +159,7 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(y1, x2, vecs, KB)
+    )(t1, x2, vecs, KB)
     return out.reshape(B, T, Wp)
 
 
@@ -166,9 +170,9 @@ def stgcn_layer_merged_ref(x, M, vecs, KB, *, residual):
     reference for the kernel tests.  Shapes as in fused_stgcn_layer.
     """
     B, T, Wp = x.shape
-    y1 = _graph_matmul(x, M)
-    s1, b1, s2, b2 = (vecs[i][None, None, :] for i in range(4))
-    t1f = jnp.maximum(y1.astype(jnp.float32) * s1 + b1, 0.0)
+    t1 = _graph_matmul_bn_relu(x, M, vecs[0], vecs[1])
+    s2, b2 = (vecs[i][None, None, :] for i in (2, 3))
+    t1f = t1.astype(jnp.float32)
     zero = jnp.zeros_like(t1f[:, :1])
     prev = jnp.concatenate([zero, t1f[:, :-1]], axis=1)
     nxt = jnp.concatenate([t1f[:, 1:], zero], axis=1)
