@@ -149,38 +149,62 @@ class TSDFVolume:
         self.weight = np.zeros(self.dims, dtype=np.float32)
         self.color = np.zeros(self.dims, dtype=np.float32)
         self._color_const = 256.0 * 256.0
-        ii, jj, kk = np.meshgrid(*(np.arange(d) for d in self.dims), indexing="ij")
-        self._centers = (
-            np.stack([ii, jj, kk], axis=-1).reshape(-1, 3) + 0.5
-        ) * self.voxel_size + self.origin  # (n_vox, 3) world
+
+    # big scans (view frusta at far_clip can span tens of meters) produce
+    # 1e7..1e8 voxels: voxel centers are NOT persisted (a float64 (n_vox, 3)
+    # table would be GBs of host RAM) but derived per chunk from the flat
+    # index, in float32, bounding the transient working set
+    _CHUNK = 1 << 22
+
+    def _chunk_centers(self, start, stop):
+        flat = np.arange(start, stop, dtype=np.int64)
+        d1, d2 = int(self.dims[1]), int(self.dims[2])
+        i = flat // (d1 * d2)
+        rem = flat - i * (d1 * d2)
+        idx = np.stack([i, rem // d2, rem % d2], axis=-1)
+        return (idx.astype(np.float32) + 0.5) * np.float32(
+            self.voxel_size
+        ) + self.origin.astype(np.float32)
 
     def integrate(self, depth_map, cam_K, cam2world_RT, rgb_img=None,
                   obs_weight=1.0):
         """Fuse one depth frame into the volume."""
+        n_vox = int(np.prod(self.dims))
+        for start in range(0, n_vox, self._CHUNK):
+            self._integrate_chunk(
+                start, min(start + self._CHUNK, n_vox),
+                depth_map, cam_K, cam2world_RT, rgb_img, obs_weight,
+            )
+
+    def _integrate_chunk(self, start, stop, depth_map, cam_K, cam2world_RT,
+                         rgb_img, obs_weight):
         world2cam = np.linalg.inv(cam2world_RT)
-        pts_cam = self._centers.dot(world2cam[:3, :3].T) + world2cam[:3, 3]
+        centers = self._chunk_centers(start, stop)
+        pts_cam = centers.dot(
+            world2cam[:3, :3].T.astype(np.float32)
+        ) + world2cam[:3, 3].astype(np.float32)
         z = pts_cam[:, 2]
         h, w = depth_map.shape
         with np.errstate(divide="ignore", invalid="ignore"):
             u = np.round(pts_cam[:, 0] * cam_K[0][0] / z + cam_K[0][2]).astype(int)
             v = np.round(pts_cam[:, 1] * cam_K[1][1] / z + cam_K[1][2]).astype(int)
         valid = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-        depth = np.zeros(len(z))
+        depth = np.zeros(len(z), dtype=np.float32)
         depth[valid] = depth_map[v[valid], u[valid]]
         sdf = depth - z
         update = valid & (depth > 0) & (sdf >= -self.trunc)
         tsdf_new = np.minimum(1.0, sdf / self.trunc)
 
-        flat_idx = np.flatnonzero(update)
+        flat_idx = np.flatnonzero(update) + start
         w_old = self.weight.reshape(-1)[flat_idx]
         w_new = w_old + obs_weight
         t_old = self.tsdf.reshape(-1)[flat_idx]
         self.tsdf.reshape(-1)[flat_idx] = (
-            w_old * t_old + obs_weight * tsdf_new[flat_idx]
+            w_old * t_old + obs_weight * tsdf_new[flat_idx - start]
         ) / w_new
         self.weight.reshape(-1)[flat_idx] = w_new
         if isinstance(rgb_img, np.ndarray):
-            rgb = rgb_img[v[flat_idx], u[flat_idx]].astype(np.float64)
+            rgb = rgb_img[v[flat_idx - start], u[flat_idx - start]].astype(np.float64)
             packed = (
                 rgb[:, 2] * self._color_const + rgb[:, 1] * 256.0 + rgb[:, 0]
             )
@@ -205,7 +229,12 @@ class TSDFVolume:
         mask = (self.weight.reshape(-1) > 0) & (
             np.abs(self.tsdf.reshape(-1)) < level * (self.voxel_size / self.trunc) * 5
         )
-        return self._centers[mask]
+        flat = np.flatnonzero(mask)
+        d1, d2 = int(self.dims[1]), int(self.dims[2])
+        i = flat // (d1 * d2)
+        rem = flat - i * (d1 * d2)
+        idx = np.stack([i, rem // d2, rem % d2], axis=-1)
+        return (idx.astype(np.float64) + 0.5) * self.voxel_size + self.origin
 
 
 def read_frames(camera_source, frame_ids, *, im_size=(640, 480), far_clip=15.0,

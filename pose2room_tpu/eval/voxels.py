@@ -19,24 +19,47 @@ from pose2room_tpu.eval.ap import voc_ap
 from pose2room_tpu.ops.boxes import corners2params, rot2head
 
 
+# packed int64 key per (i, j, k) voxel index; SPAN bounds |index| < SPAN/2,
+# far beyond any realistic scene at centimeter voxels, without overflowing
+# int64 (SPAN**3 = 2**60)
+_SPAN = 2**20
+
+
+def _voxel_keys(idx):
+    i = idx + _SPAN // 2
+    return (i[:, 0] * _SPAN + i[:, 1]) * _SPAN + i[:, 2]
+
+
+def _keys_contain(sorted_keys, keys):
+    """Vectorized membership of ``keys`` in a sorted unique key array."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(keys), dtype=bool)
+    pos = np.searchsorted(sorted_keys, keys)
+    pos = np.minimum(pos, len(sorted_keys) - 1)
+    return sorted_keys[pos] == keys
+
+
 class OccupancyGrid:
     """A set of filled voxels on the global ``voxel_size`` lattice.
 
     Stand-in for the trimesh VoxelGrid surface the reference uses: exposes
     ``filled_count``, world-space ``points`` (filled voxel centers), and
-    vectorized ``is_filled(points)``."""
+    ``is_filled(points)``.  Membership is a searchsorted over packed int64
+    voxel keys — is_filled runs inside the O(n_det x n_gt) matching loop of
+    ``eval_det_cls_w_mesh``, so it must be fully vectorized (the reference
+    leans on trimesh's vectorized VoxelGrid fill test there)."""
 
     def __init__(self, indices, voxel_size):
         indices = np.asarray(indices, dtype=np.int64).reshape(-1, 3)
         self.voxel_size = float(voxel_size)
-        self._set = {tuple(ix) for ix in indices}
         self._indices = (
             np.unique(indices, axis=0) if len(indices) else indices
         )
+        self._keys = _voxel_keys(self._indices)  # sorted by construction
 
     @property
     def filled_count(self):
-        return len(self._set)
+        return len(self._indices)
 
     @property
     def points(self):
@@ -45,7 +68,7 @@ class OccupancyGrid:
     def is_filled(self, points):
         points = np.asarray(points).reshape(-1, 3)
         idx = np.floor(points / self.voxel_size).astype(np.int64)
-        return np.array([tuple(i) in self._set for i in idx], dtype=bool)
+        return _keys_contain(self._keys, _voxel_keys(idx))
 
 
 def voxelize_box(box, voxel_size=0.0625):
@@ -84,16 +107,16 @@ def voxelize_box(box, voxel_size=0.0625):
         empty = OccupancyGrid(np.zeros((0, 3)), voxel_size)
         return empty, empty
 
-    filled_set = {tuple(ix) for ix in filled}
+    filled_keys = np.sort(_voxel_keys(filled))
     neighbors = np.array(
         [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]]
     )
-    on_surface = np.array(
-        [
-            any(tuple(ix + n) not in filled_set for n in neighbors)
-            for ix in filled
-        ]
-    )
+    all_neighbors_filled = np.ones(len(filled), dtype=bool)
+    for n in neighbors:
+        all_neighbors_filled &= _keys_contain(
+            filled_keys, _voxel_keys(filled + n)
+        )
+    on_surface = ~all_neighbors_filled
     return (
         OccupancyGrid(filled[~on_surface], voxel_size),
         OccupancyGrid(filled[on_surface], voxel_size),
@@ -115,9 +138,12 @@ def compute_mesh_iou(voxel1, voxel2):
         return np.vstack([internal.points, surf])
 
     def covered(points, internal, surface):
-        hits = surface.is_filled(points).astype(int)
+        # boolean OR, matching the reference's numpy bool-array `+` (which
+        # is logical or): a point filled in BOTH grids counts once —
+        # summing int hits would double-count and let a_i exceed 1
+        hits = surface.is_filled(points)
         if internal.filled_count > 0:
-            hits = hits + internal.is_filled(points).astype(int)
+            hits = hits | internal.is_filled(points)
         return int(np.sum(hits))
 
     v1_points = own_points(v1_int, v1_surf)

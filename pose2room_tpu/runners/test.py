@@ -93,6 +93,13 @@ def run(cfg):
     start = time.time()
     n_batches = len(loader)
 
+    # In the pipelined loop a batch's work (device compute of batch k,
+    # host post-processing of batch k-1, load of batch k+1) overlaps, so
+    # the honest per-batch number is the time between successive batch
+    # COMPLETIONS — dispatch-to-fetch spans would double-count overlapped
+    # work and sum past the total.
+    last_done = [start]
+
     def host_stage(item):
         """Fetch + NMS + AP accumulation for an already-dispatched batch.
 
@@ -101,7 +108,7 @@ def run(cfg):
         compute — a software pipeline the reference's serial per-batch loop
         (test_epoch.py) leaves on the table.
         """
-        it, batch, arrays, end_points, dev_parse, dev_gt, losses, t0 = item
+        it, batch, arrays, end_points, dev_parse, dev_gt, losses = item
         eval_dict, parsed = parse_predictions(
             end_points, arrays, cfg.eval_config, _device_out=dev_parse
         )
@@ -113,9 +120,11 @@ def run(cfg):
         )
         for t in thresholds:
             ap_calculators[t].step(eval_dict["batch_pred_map_cls"], gt_map)
+        now = time.time()
         cfg.log_string(
-            f"Test batch {it + 1}/{n_batches}: {time.time() - t0:.3f}s"
+            f"Test batch {it + 1}/{n_batches}: {now - last_done[0]:.3f}s"
         )
+        last_done[0] = now
         if dump and cfg.is_main_process:
             dump_dir = os.path.join(
                 cfg.config["log"]["vis_path"],
@@ -129,7 +138,6 @@ def run(cfg):
     pending = None
     for it, batch in enumerate(loader):
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-        t0 = time.time()
         end_points = generate(
             state, arrays["input_joints"], jax.random.fold_in(gen_key, it)
         )
@@ -145,7 +153,7 @@ def run(cfg):
                 )
             },
         )
-        item = (it, batch, arrays, end_points, dev_parse, dev_gt, losses, t0)
+        item = (it, batch, arrays, end_points, dev_parse, dev_gt, losses)
         if pending is not None:
             host_stage(pending)
         pending = item

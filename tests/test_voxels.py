@@ -182,3 +182,28 @@ def test_generate_cameras():
     # pitch/yaw pairs include straight up/down
     assert any((p == [-90.0, 0.0]).all() for p in angles)
     assert angles.shape[1] == 2
+
+def test_mesh_iou_overlapping_internal_surface_counts_once():
+    """Occupancies whose internal and surface sets OVERLAP (binvox/TSDF
+    grids do) must count a doubly-filled point once — the reference's numpy
+    bool + bool is logical OR; integer summing lets a_i exceed 1 and the
+    IoU formula blow past 1."""
+    idx = np.stack(
+        np.meshgrid(*(np.arange(4),) * 3, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    # same cube registered as BOTH internal and surface
+    grid = OccupancyGrid(idx, 0.1)
+    v = (grid, grid)
+    iou = compute_mesh_iou(v, v)
+    assert 0.0 < iou <= 1.0
+    assert iou == pytest.approx(1.0)
+
+
+def test_occupancy_is_filled_vectorized_membership():
+    idx = np.array([[0, 0, 0], [2, -3, 5], [-7, 1, 0]])
+    grid = OccupancyGrid(idx, 0.5)
+    pts = (np.array([[0, 0, 0], [2, -3, 5], [1, 1, 1], [-7, 1, 0]]) + 0.5) * 0.5
+    np.testing.assert_array_equal(
+        grid.is_filled(pts), [True, True, False, True]
+    )
+    assert grid.filled_count == 3
