@@ -147,17 +147,15 @@ class STGCN(nn.Module):
         if use_fused:
             from pose2room_tpu.ops.stgcn_fused import (
                 fused_stgcn_layer,
-                pad_merged,
                 stgcn_layer_merged_ref,
             )
 
             C = h.shape[-1]
             W0 = V * C
-            Wp = pad_merged(W0)
-            hm = jnp.pad(
-                h.astype(jnp.bfloat16).reshape(B, T, W0),
-                ((0, 0), (0, 0), (0, Wp - W0)),
-            )
+            # no entry pad: block 0 has no residual, so fused_stgcn_layer
+            # contracts the unpadded merged input against M's first W0 rows
+            # and the padded width first materializes as its OUTPUT
+            hm = h.astype(jnp.bfloat16).reshape(B, T, W0)
             operands = [hm]
             for blk, imp in zip(self.blocks, self.edge_importance):
                 operands.extend(blk.fold_eval_arrays(self.A * imp))

@@ -79,17 +79,23 @@ def _graph_matmul_bn_relu(x, M, s1, b1):
     )
 
 
-def _epilogue_kernel(t1_ref, x_ref, vec_ref, kb_ref, out_ref, *, residual):
+def _epilogue_kernel(t1_ref, *rest, residual):
     """tconv-BN2-residual-ReLU for one (clip, column-tile) cell.
 
     t1_ref:  (T, 128) bf16 — relu(BN1(graph conv)) tile (from XLA).
-    x_ref:   (T, 128) bf16 — block input tile (identity residual).
+    x_ref:   (T, 128) bf16 — block input tile; ONLY present when
+             ``residual`` (a no-residual block never reads its input here,
+             so the wrapper doesn't even pass it — saves the tile DMA).
     vec_ref: (8, 128) f32 — rows [s1, b1', s2, b2', 0...]; only s2/b2'
              are used here (s1/b1' are folded into the XLA matmul fusion).
     kb_ref:  (3, 128, 128) bf16 — temporal taps as block-diagonal matrices;
              tap s applies to row t+s-1 (SAME padding).
     out_ref: (T, 128) bf16.
     """
+    if residual:
+        x_ref, vec_ref, kb_ref, out_ref = rest
+    else:
+        vec_ref, kb_ref, out_ref = rest
     t1 = t1_ref[...]
 
     # Row shifts run in f32 (Mosaic's sublane rotate has no sub-32-bit
@@ -125,7 +131,12 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
     """One st-gcn block over merged activations: XLA matmul + fused epilogue.
 
     Args:
-        x: (B, T, Wp) bfloat16, Wp a multiple of 128, padded columns zero.
+        x: (B, T, W) bfloat16.  With ``residual`` W must equal Wp =
+            M.shape[1] (a multiple of 128, padded columns zero); without a
+            residual W may be the UNPADDED merged width — the matmul
+            contracts against M's first W rows and the input is never
+            touched again, so the first block needs no input pad/copy at
+            all (the entry pad cost a physical copy, BENCH_NOTES.md).
         M: (Wp, Wp) bfloat16 folded graph-conv matrix (padding rows/cols 0).
         vecs: (8, Wp) float32 — rows [s1, b1', s2, b2', *unused] (see
             models/layers.py:STGCNBlock.fold_eval_arrays for the folding).
@@ -134,23 +145,31 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
     Returns:
         (B, T, Wp) bfloat16.
     """
-    B, T, Wp = x.shape
-    assert Wp % LANE == 0 and M.shape == (Wp, Wp), (x.shape, M.shape)
-    t1 = _graph_matmul_bn_relu(x, M, vecs[0], vecs[1]).reshape(B * T, Wp)
-    x2 = x.reshape(B * T, Wp)
+    B, T, W = x.shape
+    Wp = M.shape[1]
+    assert Wp % LANE == 0 and M.shape[0] == Wp, (x.shape, M.shape)
+    assert W == Wp or (not residual and W <= Wp), (x.shape, M.shape)
+    t1 = _graph_matmul_bn_relu(x, M[:W], vecs[0], vecs[1]).reshape(B * T, Wp)
     kernel = functools.partial(_epilogue_kernel, residual=residual)
     tile = pl.BlockSpec((T, LANE), lambda b, j: (b, j), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, Wp // LANE),
-        in_specs=[
-            tile,
-            tile,
+    operands = [t1]
+    in_specs = [tile]
+    if residual:
+        operands.append(x.reshape(B * T, Wp))
+        in_specs.append(tile)
+    operands.extend([vecs, KB])
+    in_specs.extend(
+        [
             pl.BlockSpec((8, LANE), lambda b, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (3, LANE, LANE), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM
             ),
-        ],
+        ]
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Wp // LANE),
+        in_specs=in_specs,
         out_specs=tile,
         out_shape=jax.ShapeDtypeStruct((B * T, Wp), jnp.bfloat16),
         cost_estimate=pl.CostEstimate(
@@ -159,7 +178,7 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(t1, x2, vecs, KB)
+    )(*operands)
     return out.reshape(B, T, Wp)
 
 
@@ -169,8 +188,9 @@ def stgcn_layer_merged_ref(x, M, vecs, KB, *, residual):
     Used as the non-TPU branch of lax.platform_dependent and as the golden
     reference for the kernel tests.  Shapes as in fused_stgcn_layer.
     """
-    B, T, Wp = x.shape
-    t1 = _graph_matmul_bn_relu(x, M, vecs[0], vecs[1])
+    B, T, W = x.shape
+    Wp = M.shape[1]
+    t1 = _graph_matmul_bn_relu(x, M[:W], vecs[0], vecs[1])
     s2, b2 = (vecs[i][None, None, :] for i in (2, 3))
     t1f = t1.astype(jnp.float32)
     zero = jnp.zeros_like(t1f[:, :1])

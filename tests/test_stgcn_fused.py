@@ -71,6 +71,28 @@ def test_kernel_matches_merged_ref(residual, W0, C):
         assert np.abs(np.asarray(out_k[..., W0:], np.float32)).max() == 0.0
 
 
+def test_first_layer_accepts_unpadded_input():
+    """Without a residual the layer contracts an UNPADDED merged input
+    against M's first W0 rows — same result as feeding the padded form."""
+    rng = np.random.RandomState(3)
+    W0, C = 192, 64
+    Wp = pad_merged(W0)
+    x, M, vecs, KB = _layer_operands(rng, W0, C, Wp)
+    out_pad = fused_stgcn_layer(
+        x, M, vecs, KB, residual=False, interpret=True
+    )
+    out_nopad = fused_stgcn_layer(
+        x[..., :W0], M, vecs, KB, residual=False, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_pad, np.float32), np.asarray(out_nopad, np.float32)
+    )
+    r_nopad = stgcn_layer_merged_ref(x[..., :W0], M, vecs, KB, residual=False)
+    np.testing.assert_array_equal(
+        np.asarray(out_nopad, np.float32), np.asarray(r_nopad, np.float32)
+    )
+
+
 def _run_backbone(fused, x):
     model = STGCN(
         n_seeds=32,
