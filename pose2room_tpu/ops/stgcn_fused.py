@@ -82,15 +82,18 @@ def _graph_matmul_bn_relu(x, M, s1, b1):
 def _epilogue_kernel(t1_ref, *rest, residual):
     """tconv-BN2-residual-ReLU for one (clip, column-tile) cell.
 
-    t1_ref:  (T, 128) bf16 — relu(BN1(graph conv)) tile (from XLA).
-    x_ref:   (T, 128) bf16 — block input tile; ONLY present when
+    t1_ref:  (T, TW) bf16 — relu(BN1(graph conv)) tile (from XLA); the
+             tile width TW is a multiple of 128 (wider tiles amortize the
+             per-cell DMA issue cost; the temporal-tap matmuls run per
+             128-lane group so the block-diagonal taps stay 128x128).
+    x_ref:   (T, TW) bf16 — block input tile; ONLY present when
              ``residual`` (a no-residual block never reads its input here,
              so the wrapper doesn't even pass it — saves the tile DMA).
-    vec_ref: (8, 128) f32 — rows [s1, b1', s2, b2', 0...]; only s2/b2'
+    vec_ref: (8, TW) f32 — rows [s1, b1', s2, b2', 0...]; only s2/b2'
              are used here (s1/b1' are folded into the XLA matmul fusion).
     kb_ref:  (3, 128, 128) bf16 — temporal taps as block-diagonal matrices;
              tap s applies to row t+s-1 (SAME padding).
-    out_ref: (T, 128) bf16.
+    out_ref: (T, TW) bf16.
     """
     if residual:
         x_ref, vec_ref, kb_ref, out_ref = rest
@@ -101,23 +104,30 @@ def _epilogue_kernel(t1_ref, *rest, residual):
     # Row shifts run in f32 (Mosaic's sublane rotate has no sub-32-bit
     # lowering); the bf16 cast back for the MXU is value-exact.
     t1f = t1.astype(jnp.float32)
-    T = t1.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 0)
+    T, TW = t1.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, TW), 0)
     zero = jnp.zeros_like(t1f)
     prev = jnp.where(rows == 0, zero, pltpu.roll(t1f, 1, axis=0))
     # pltpu.roll requires a non-negative shift: roll by T-1 == roll by -1
     nxt = jnp.where(rows == T - 1, zero, pltpu.roll(t1f, T - 1, axis=0))
-    y2 = (
-        jnp.dot(
-            prev.astype(jnp.bfloat16), kb_ref[0],
-            preferred_element_type=jnp.float32,
+    prev = prev.astype(jnp.bfloat16)
+    nxt = nxt.astype(jnp.bfloat16)
+
+    groups = []
+    for g in range(TW // LANE):
+        sl = slice(g * LANE, (g + 1) * LANE)
+        groups.append(
+            jnp.dot(
+                prev[:, sl], kb_ref[0], preferred_element_type=jnp.float32
+            )
+            + jnp.dot(
+                t1[:, sl], kb_ref[1], preferred_element_type=jnp.float32
+            )
+            + jnp.dot(
+                nxt[:, sl], kb_ref[2], preferred_element_type=jnp.float32
+            )
         )
-        + jnp.dot(t1, kb_ref[1], preferred_element_type=jnp.float32)
-        + jnp.dot(
-            nxt.astype(jnp.bfloat16), kb_ref[2],
-            preferred_element_type=jnp.float32,
-        )
-    )
+    y2 = groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=1)
 
     s2 = vec_ref[2:3, :]
     b2 = vec_ref[3:4, :]
@@ -150,8 +160,12 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
     assert Wp % LANE == 0 and M.shape[0] == Wp, (x.shape, M.shape)
     assert W == Wp or (not residual and W <= Wp), (x.shape, M.shape)
     t1 = _graph_matmul_bn_relu(x, M[:W], vecs[0], vecs[1]).reshape(B * T, Wp)
+    # wider 128-multiple tile that divides Wp: fewer, larger DMAs per cell
+    # amortize issue cost; 384 keeps the kernel's f32 intermediates
+    # (t1f/prev/nxt at (T, TW)) comfortably inside the ~16 MB VMEM
+    TW = 384 if Wp % 384 == 0 else LANE
     kernel = functools.partial(_epilogue_kernel, residual=residual)
-    tile = pl.BlockSpec((T, LANE), lambda b, j: (b, j), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((T, TW), lambda b, j: (b, j), memory_space=pltpu.VMEM)
     operands = [t1]
     in_specs = [tile]
     if residual:
@@ -160,7 +174,7 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
     operands.extend([vecs, KB])
     in_specs.extend(
         [
-            pl.BlockSpec((8, LANE), lambda b, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TW), lambda b, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (3, LANE, LANE), lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -168,7 +182,7 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B, Wp // LANE),
+        grid=(B, Wp // TW),
         in_specs=in_specs,
         out_specs=tile,
         out_shape=jax.ShapeDtypeStruct((B * T, Wp), jnp.bfloat16),
