@@ -100,31 +100,31 @@ def _epilogue_kernel(t1_ref, *rest, residual):
     else:
         vec_ref, kb_ref, out_ref = rest
     t1 = t1_ref[...]
-
-    # Row shifts run in f32 (Mosaic's sublane rotate has no sub-32-bit
-    # lowering); the bf16 cast back for the MXU is value-exact.
-    t1f = t1.astype(jnp.float32)
     T, TW = t1.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (T, TW), 0)
-    zero = jnp.zeros_like(t1f)
-    prev = jnp.where(rows == 0, zero, pltpu.roll(t1f, 1, axis=0))
-    # pltpu.roll requires a non-negative shift: roll by T-1 == roll by -1
-    nxt = jnp.where(rows == T - 1, zero, pltpu.roll(t1f, T - 1, axis=0))
-    prev = prev.astype(jnp.bfloat16)
-    nxt = nxt.astype(jnp.bfloat16)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 0)
 
     groups = []
     for g in range(TW // LANE):
         sl = slice(g * LANE, (g + 1) * LANE)
+        # Row shifts per 128-lane group, in f32 (Mosaic's sublane rotate
+        # has no sub-32-bit lowering); the bf16 cast back for the MXU is
+        # value-exact.  Working per group keeps the f32 intermediates'
+        # footprint independent of the tile width.
+        tg = t1[:, sl]
+        tgf = tg.astype(jnp.float32)
+        zero = jnp.zeros_like(tgf)
+        prev = jnp.where(rows == 0, zero, pltpu.roll(tgf, 1, axis=0))
+        # pltpu.roll requires a non-negative shift: roll by T-1 == roll by -1
+        nxt = jnp.where(rows == T - 1, zero, pltpu.roll(tgf, T - 1, axis=0))
         groups.append(
             jnp.dot(
-                prev[:, sl], kb_ref[0], preferred_element_type=jnp.float32
+                prev.astype(jnp.bfloat16), kb_ref[0],
+                preferred_element_type=jnp.float32,
             )
+            + jnp.dot(tg, kb_ref[1], preferred_element_type=jnp.float32)
             + jnp.dot(
-                t1[:, sl], kb_ref[1], preferred_element_type=jnp.float32
-            )
-            + jnp.dot(
-                nxt[:, sl], kb_ref[2], preferred_element_type=jnp.float32
+                nxt.astype(jnp.bfloat16), kb_ref[2],
+                preferred_element_type=jnp.float32,
             )
         )
     y2 = groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=1)
@@ -161,9 +161,13 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
     assert W == Wp or (not residual and W <= Wp), (x.shape, M.shape)
     t1 = _graph_matmul_bn_relu(x, M[:W], vecs[0], vecs[1]).reshape(B * T, Wp)
     # wider 128-multiple tile that divides Wp: fewer, larger DMAs per cell
-    # amortize issue cost; 384 keeps the kernel's f32 intermediates
-    # (t1f/prev/nxt at (T, TW)) comfortably inside the ~16 MB VMEM
-    TW = 384 if Wp % 384 == 0 else LANE
+    # amortize issue cost (the kernel's f32 intermediates stay per-group,
+    # so tile width only costs the bf16 in/out buffers in VMEM)
+    TW = LANE
+    for cand in (1152, 384):
+        if Wp % cand == 0:
+            TW = cand
+            break
     kernel = functools.partial(_epilogue_kernel, residual=residual)
     tile = pl.BlockSpec((T, TW), lambda b, j: (b, j), memory_space=pltpu.VMEM)
     operands = [t1]
