@@ -148,3 +148,69 @@ def test_train_path_unchanged_by_flag():
         )
         outs.append(np.asarray(out["seed_features"], np.float32))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_batchnormcompat_matches_flax_batchnorm():
+    """BatchNormCompat must be drop-in for nn.BatchNorm: same variable
+    names/shapes, same train-mode stats + running update, same eval math."""
+    import flax.linen as nn
+    from pose2room_tpu.models.layers import BatchNormCompat
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(4, 6, 5, 16).astype(np.float32))
+
+    compat = BatchNormCompat(16)
+    ref = nn.BatchNorm(
+        use_running_average=False, momentum=0.9, dtype=jnp.float32
+    )
+    v_c = compat.init(jax.random.PRNGKey(0), x, train=True)
+    v_r = ref.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v_c) == jax.tree_util.tree_structure(
+        v_r
+    )
+
+    # seed distinct affine params into both
+    scale = jnp.asarray(1 + 0.3 * rng.rand(16).astype(np.float32))
+    bias = jnp.asarray(0.2 * rng.randn(16).astype(np.float32))
+    for v in (v_c, v_r):
+        v["params"]["scale"] = scale
+        v["params"]["bias"] = bias
+
+    y_c, m_c = compat.apply(v_c, x, train=True, mutable=["batch_stats"])
+    y_r, m_r = ref.apply(v_r, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_r), atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(m_c["batch_stats"][k]),
+            np.asarray(m_r["batch_stats"][k]),
+            atol=1e-6,
+        )
+
+    # eval mode with the updated running stats
+    v_c2 = {"params": v_c["params"], **m_c}
+    ref_eval = nn.BatchNorm(
+        use_running_average=True, momentum=0.9, dtype=jnp.float32
+    )
+    v_r2 = {"params": v_r["params"], **m_r}
+    y_ce = compat.apply(v_c2, x, train=False)
+    y_re = ref_eval.apply(v_r2, x)
+    np.testing.assert_allclose(np.asarray(y_ce), np.asarray(y_re), atol=1e-5)
+
+
+def test_temporalconv_matches_flax_conv():
+    import flax.linen as nn
+    from pose2room_tpu.models.layers import TemporalConv
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 8, 5, 12).astype(np.float32))
+    ours = TemporalConv(12, 12, kernel_size=3)
+    theirs = nn.Conv(12, kernel_size=(3, 1), padding=((1, 1), (0, 0)))
+    v_o = ours.init(jax.random.PRNGKey(7), x)
+    v_t = theirs.init(jax.random.PRNGKey(7), x)
+    # identical param tree (names + shapes); share the weights
+    v_t = {"params": {k: v_o["params"][k] for k in v_t["params"]}}
+    np.testing.assert_allclose(
+        np.asarray(ours.apply(v_o, x)),
+        np.asarray(theirs.apply(v_t, x)),
+        atol=1e-5,
+    )
