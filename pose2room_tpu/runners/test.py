@@ -135,9 +135,23 @@ def run(cfg):
                 gt_data=arrays, dump_threshold=dump_threshold,
             )
 
+    from pose2room_tpu.parallel import shard_batch
+
+    # Single-host: shard the eval batch over the mesh's data axis so
+    # generate/parse/loss scale across every chip, mirroring the train step
+    # (a plain jit over host numpy would run the whole batch on one
+    # device); trailing partial batches fall back to replication inside
+    # shard_batch.  Multi-host keeps host-local numpy — eval parallelism
+    # there comes from the per-host scan shard, and the host-side AP stage
+    # must be able to fetch its arrays (a globally-sharded array is not
+    # addressable from one process).
+    single_host = jax.process_count() == 1
+
     pending = None
     for it, batch in enumerate(loader):
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        if single_host:
+            arrays = shard_batch(arrays, mesh)
         end_points = generate(
             state, arrays["input_joints"], jax.random.fold_in(gen_key, it)
         )
