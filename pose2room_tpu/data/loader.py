@@ -62,6 +62,18 @@ class DataLoader:
             order = rng.permutation(n)
         else:
             order = np.arange(n)
+        if self.process_count > 1:
+            # Multi-host: pad the permutation by wrap-around so every host's
+            # shard has the same length AND every batch is full-size —
+            # reference DistributedSampler behavior (duplicates a few samples
+            # per epoch).  Required for correctness, not just speed: hosts
+            # must dispatch the same number of identically-shaped global
+            # batches (shard_batch builds each global array from per-process
+            # local shards and rejects uneven ones).
+            stride = self.process_count * self.batch_size
+            total = -(-n // stride) * stride  # ceil to a multiple
+            if total > n:
+                order = np.resize(order, total)  # cyclic repeat
         # per-host shard (DistributedSampler analogue): host i takes every
         # process_count-th sample starting at i — same coverage, no overlap.
         return order[self.process_index :: self.process_count]

@@ -265,6 +265,11 @@ def read_frames(camera_source, frame_ids, *, im_size=(640, 480), far_clip=15.0,
         )
         depth = np.asarray(depth[0])[..., 0].copy()
         depth[depth > far_clip] = 0
+        if depth.max() <= 0:
+            # every pixel beyond far_clip: the frustum would degenerate to a
+            # single point and pollute vol_bnds — the frame contributes
+            # nothing, skip it entirely
+            continue
         frust = get_view_frustum(depth, cam_K, cam_RT)
         lo, hi = frust.min(axis=1), frust.max(axis=1)
         if vol_bnds is None:
@@ -284,6 +289,11 @@ def read_frames(camera_source, frame_ids, *, im_size=(640, 480), far_clip=15.0,
         depths.append(depth)
         rgbs.append(rgb)
 
+    if vol_bnds is None:
+        raise ValueError(
+            "read_frames: no frame has any depth within far_clip="
+            f"{far_clip} — nothing to fuse"
+        )
     # pad the upper bound so points exactly on the far boundary (e.g. a wall
     # at the max observed depth) still land inside the voxel grid
     vol_bnds[:, 1] += voxel_size

@@ -80,7 +80,10 @@ class FailureLog:
 
 
 def _room_graph_setup(sim, scene_id, graph):
-    sim.reset(scene_id)
+    # scene_id arrives as the stage-1 directory basename (a string); a real
+    # UnityCommunication.reset expects an integer environment index
+    sim.reset(int(scene_id) if isinstance(scene_id, str) and scene_id.isdigit()
+              else scene_id)
     ok = sim.expand_scene(graph)
     assert ok[0] if isinstance(ok, (tuple, list)) else ok
 

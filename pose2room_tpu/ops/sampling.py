@@ -115,10 +115,10 @@ def furthest_point_sample(xyz, npoint, use_pallas=None):
         npoint: number of samples.
         use_pallas: force kernel choice; both paths have identical semantics
             (see test_sampling.py).  Default: the Pallas kernel on TPU — it
-            beats the XLA scan at every model shape (v5e: 0.40 vs 0.51 ms at
-            (8,512)->128, 0.39 vs 0.92 ms at (32,512)->128, see
-            scripts/bench_fps.py + BENCH_NOTES.md) — and the XLA scan
-            elsewhere (CPU tests, interpret-free portability).
+            beats the XLA scan at every model shape (measured table in
+            BENCH_NOTES.md §"FPS kernel"; reproduce with
+            scripts/bench_fps.py) — and the XLA scan elsewhere (CPU tests,
+            interpret-free portability).
     Returns:
         (B, npoint) int32 indices; idx[:, 0] == 0 always.
     """

@@ -78,33 +78,49 @@ def replicated_sharding(mesh):
 def shard_batch(batch, mesh, axis_name="data"):
     """Place a host batch dict on the mesh with the batch axis sharded.
 
-    Non-array entries (e.g. sample_idx strings) are passed through.  Batches
-    whose leading dim is not divisible by the mesh size (e.g. a trailing
-    partial batch) are replicated instead — correct, just without the
-    data-parallel speedup for that one step.
+    Non-array entries (e.g. sample_idx strings) are passed through.
+    Single-host batches whose leading dim is not divisible by the mesh size
+    (e.g. a trailing partial batch) are replicated instead — correct, just
+    without the data-parallel speedup for that one step.
 
     Multi-host: each process holds only its data shard (data/loader.py), so
     the global array is assembled from per-process local data — the leading
     dim of the result is local_batch × process_count.  This is the jax
     analogue of DDP's "each rank feeds its own DistributedSampler shard"
-    (reference models/p2rnet/dataloader.py:179-180).
+    (reference models/p2rnet/dataloader.py:179-180).  A batched array whose
+    global leading dim does NOT divide the data axis is an ERROR here: the
+    single-host replication fallback cannot apply, because each host holds
+    DIFFERENT samples and ``multihost_replicate`` requires host-identical
+    values — silently "replicating" would build a global array whose device
+    shards disagree across hosts.  The loader prevents this by padding each
+    host's shard to full equal-size batches (DistributedSampler behavior);
+    the raise catches callers that bypass it.
     """
     n_shard = mesh.shape[axis_name]  # split count = data-axis size only
     sharded = batch_sharding(mesh, axis_name)
     replicated = replicated_sharding(mesh)
     multihost = jax.process_count() > 1
 
-    def put(x):
+    def put(k, x):
         if not isinstance(x, np.ndarray):
             return x
         if multihost:
             if x.shape and (x.shape[0] * jax.process_count()) % n_shard == 0:
                 return jax.make_array_from_process_local_data(sharded, x)
-            return multihost_replicate(x, mesh)
+            if x.shape:
+                raise ValueError(
+                    f"shard_batch: multi-host batch array {k!r} has local "
+                    f"leading dim {x.shape[0]} (global "
+                    f"{x.shape[0] * jax.process_count()}) not divisible by "
+                    f"the {n_shard}-way data axis; per-host data differs so "
+                    "it cannot be replicated. Use equal, divisible per-host "
+                    "batches (DataLoader pads shards in multi-host mode)."
+                )
+            return multihost_replicate(x, mesh)  # 0-d: host-identical only
         s = sharded if x.shape and x.shape[0] % n_shard == 0 else replicated
         return jax.device_put(x, s)
 
-    return {k: put(v) for k, v in batch.items()}
+    return {k: put(k, v) for k, v in batch.items()}
 
 
 def multihost_replicate(x, mesh):

@@ -24,23 +24,30 @@ def device_prefetch(batches, mesh, depth=2, h2d_dtype=None):
     step_time = transfer + compute into max(transfer, compute).
 
     ``h2d_dtype`` (e.g. 'float16', opt-in via ``train.h2d_dtype``) casts
-    float32 arrays on the host before upload, halving per-step transfer
-    bytes; the jitted step casts back to float32 on device.  Quantization
-    (~1e-3 relative on targets) slightly perturbs losses — keep it off when
-    exact reference numerics matter."""
+    float32 TARGET arrays on the host before upload, cutting per-step
+    transfer bytes; the jitted step casts back to float32 on device.
+    ``input_joints`` is exempt: quantizing the model input can discretely
+    flip FPS/ball-query selections, a far larger effect than the ~1e-3
+    relative perturbation compression adds to the loss targets.  Keep it
+    off entirely when exact reference numerics matter."""
     from collections import deque
 
     cast_to = np.dtype(h2d_dtype) if h2d_dtype else None
 
-    def compress(x):
-        if cast_to is not None and isinstance(x, np.ndarray) and x.dtype == np.float32:
+    def compress(k, x):
+        if (
+            cast_to is not None
+            and k != "input_joints"
+            and isinstance(x, np.ndarray)
+            and x.dtype == np.float32
+        ):
             return x.astype(cast_to)
         return x
 
     q = deque()
     for batch in batches:
         arrays = {
-            k: compress(v) for k, v in batch.items() if k != "sample_idx"
+            k: compress(k, v) for k, v in batch.items() if k != "sample_idx"
         }
         q.append(shard_batch(arrays, mesh))
         if len(q) >= depth:

@@ -99,14 +99,27 @@ def test_loader_batching(dataset_root):
 
 
 def test_loader_host_sharding(dataset_root):
+    """Multi-host shards cover every sample, and — DistributedSampler
+    parity — are wrap-padded so each host yields the SAME number of
+    FULL-SIZE batches (shard_batch requires equal divisible per-host
+    batches; duplicates come from the cyclic pad only)."""
     _, train, _ = dataset_root
     ds = P2RNetDataset(train, num_frames=64, augment=False)
     seen = []
+    per_host = []
     for pi in range(2):
         dl = DataLoader(
             ds, batch_size=2, shuffle=False, process_index=pi, process_count=2,
             num_workers=0,
         )
+        host_samples = []
         for b in dl:
-            seen.extend(b["sample_idx"])
-    assert sorted(seen) == sorted(s["sample_idx"] for s in (ds[i] for i in range(len(ds))))
+            assert len(b["sample_idx"]) == 2  # every batch full-size
+            host_samples.extend(b["sample_idx"])
+        per_host.append(host_samples)
+        seen.extend(host_samples)
+    all_ids = sorted(s["sample_idx"] for s in (ds[i] for i in range(len(ds))))
+    assert sorted(set(seen)) == all_ids  # full coverage
+    assert len(per_host[0]) == len(per_host[1])  # equal shard lengths
+    # n=6, stride=4 -> padded to 8: exactly 2 wrap-around duplicates
+    assert len(seen) == 8
