@@ -86,6 +86,34 @@ def run(cfg):
     ap_calculators = {
         t: APCalculator(t, cfg.dataset_config.class2type) for t in thresholds
     }
+    # Voxel-occupancy ("mesh") AP variant (reference ap_helper.py:84-125):
+    # rasterize every pred/GT box on the global voxel lattice and report
+    # `_mesh`-suffixed metrics alongside box AP.
+    eval_mesh_ap = cfg.config["test"].get("eval_mesh_ap", False)
+    mesh_voxel_size = cfg.config["test"].get("mesh_voxel_size", 0.0625)
+    if eval_mesh_ap:
+        from pose2room_tpu.eval.voxels import voxelize_box
+
+        def attach_voxels(pred_map, gt_map):
+            """Augment assembled scan lists with (internal, surface)
+            occupancies.  per_class_proposal expands each proposal into one
+            entry per class with the SAME corners — dedupe the rasterization
+            by box bytes so each box voxelizes once."""
+            cache = {}
+
+            def vox(box):
+                box = np.asarray(box, dtype=np.float64)
+                key = box.tobytes()
+                if key not in cache:
+                    cache[key] = voxelize_box(box, mesh_voxel_size)
+                return cache[key]
+
+            pred_out = [
+                [(c, b, s, vox(b)) for (c, b, s) in scan] for scan in pred_map
+            ]
+            gt_out = [[(c, b, vox(b)) for (c, b) in scan] for scan in gt_map]
+            return pred_out, gt_out
+
     recorder = LossRecorder(loader.batch_size)
     dump = cfg.config.get("generation", {}).get("dump_results", False)
     dump_threshold = cfg.config.get("generation", {}).get("dump_threshold", 0.5)
@@ -118,8 +146,11 @@ def run(cfg):
         recorder.update_loss(
             {k: float(v) for k, v in jax.device_get(losses).items()}
         )
+        pred_map = eval_dict["batch_pred_map_cls"]
+        if eval_mesh_ap:
+            pred_map, gt_map = attach_voxels(pred_map, gt_map)
         for t in thresholds:
-            ap_calculators[t].step(eval_dict["batch_pred_map_cls"], gt_map)
+            ap_calculators[t].step(pred_map, gt_map)
         now = time.time()
         cfg.log_string(
             f"Test batch {it + 1}/{n_batches}: {now - last_done[0]:.3f}s"
@@ -184,7 +215,10 @@ def run(cfg):
     metrics_all = {}
     for t, calc in ap_calculators.items():
         cfg.log_string(f"---------- iou_thresh: {t} ----------")
-        metrics = calc.compute_metrics()
+        metrics = (
+            calc.compute_metrics_w_mesh() if eval_mesh_ap
+            else calc.compute_metrics()
+        )
         for k, v in metrics.items():
             cfg.log_string(f"eval {k}: {v}")
         metrics_all[t] = metrics
