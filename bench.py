@@ -32,8 +32,92 @@ except Exception:
     pass
 
 
+def run_selfchecks():
+    """On-chip kernel self-checks, run before timing (gates the bench).
+
+    Interpret-mode tests cannot see Mosaic lowering bugs — a round-1 FPS
+    kernel was wrong ONLY for B>8 on real hardware (BENCH_NOTES.md "FPS
+    kernel") — so a toolchain regression could otherwise publish a wrong
+    number silently.  Checks (stderr; the single JSON line stays stdout):
+
+    1. Pallas FPS == XLA scan, bit-exact, at both model shapes;
+    2. fused ST-GCN chain vs per-block module path on the full-size
+       backbone: same params, bf16-level seed_feature agreement (the two
+       are reassociations of the same math; the tolerance is far below
+       garbage-output level but above bf16 reassociation noise).
+
+    Returns True if all checks pass.
+    """
+    import functools
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from pose2room_tpu.ops.sampling import _fps_xla, _fps_pallas
+    from pose2room_tpu.models.stgcn import STGCN
+
+    ok = True
+    rng = np.random.RandomState(7)
+    for B, N, m in [(8, 512, 128), (32, 512, 128)]:
+        xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        ref = np.asarray(jax.jit(functools.partial(_fps_xla, npoint=m))(xyz))
+        got = np.asarray(jax.jit(functools.partial(_fps_pallas, npoint=m))(xyz))
+        if (ref == got).all():
+            print(f"selftest fps ({B},{N})->{m}: OK (bit-exact)", file=sys.stderr)
+        else:
+            ok = False
+            n_bad = int((ref != got).sum())
+            print(
+                f"selftest fps ({B},{N})->{m}: FAIL ({n_bad} cells differ)",
+                file=sys.stderr,
+            )
+
+    x = rng.randn(8, 768, 53, 3).astype(np.float32) * 0.5
+    x[..., 0] += np.linspace(0, 3, 768)[None, :, None]
+    key = jax.random.PRNGKey(0)
+    outs = {}
+    for fused in (True, False):
+        model = STGCN(dtype=jnp.bfloat16, fused_eval=fused)
+        # init on CPU (eager on-device init is minutes-slow through the
+        # tunnel); param trees are identical for both paths (tested)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != "cpu":
+            with jax.default_device(cpu):
+                variables = model.init({"params": key}, x[:1], train=False)
+            variables = jax.device_put(variables, jax.devices()[0])
+        else:
+            variables = model.init({"params": key}, x[:1], train=False)
+        out = jax.jit(lambda v, xx, mdl=model: mdl.apply(v, xx, train=False))(
+            variables, x
+        )
+        outs[fused] = np.asarray(out["seed_features"], np.float32)
+    d = np.abs(outs[True] - outs[False])
+    scale = max(np.abs(outs[False]).max(), 1e-6)
+    tol = 0.05  # relative: reassociation noise is ~1e-3; garbage is O(1)
+    if d.max() <= tol * scale:
+        print(
+            f"selftest fused-chain vs module: OK (max |diff| {d.max():.4f}, "
+            f"scale {scale:.2f})",
+            file=sys.stderr,
+        )
+    else:
+        ok = False
+        print(
+            f"selftest fused-chain vs module: FAIL (max |diff| {d.max():.4f} "
+            f"> {tol} * {scale:.2f})",
+            file=sys.stderr,
+        )
+    return ok
+
+
 def main():
     import argparse
+    import sys
+
     import jax
 
     parser = argparse.ArgumentParser()
@@ -45,6 +129,11 @@ def main():
     # default sweep skips 8/64: each extra batch size costs a full remote
     # compile (~1-3 min through the dev tunnel) and 128 wins (BENCH_NOTES.md)
     parser.add_argument("--batches", default="1,32,128")
+    parser.add_argument(
+        "--skip-selfcheck", action="store_true",
+        help="skip the on-chip kernel parity gate (iteration only; the "
+        "official bench always runs it)",
+    )
     args = parser.parse_args()
 
     try:
@@ -53,6 +142,15 @@ def main():
             jax.config.update("jax_platforms", platforms + ",cpu")
     except Exception:
         pass
+
+    if jax.default_backend() != "cpu" and not args.skip_selfcheck:
+        if not run_selfchecks():
+            print(
+                "bench.py: on-chip kernel selftest FAILED — refusing to "
+                "publish a number",
+                file=sys.stderr,
+            )
+            sys.exit(1)
 
     from pose2room_tpu.models import P2RNet, P2RNetConfig
 
@@ -103,6 +201,12 @@ def main():
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         clips_per_sec = batch * n_iter / dt
+        print(
+            f"sweep batch={batch}: {clips_per_sec:.1f} clips/s "
+            f"({dt / n_iter * 1e3 / batch:.2f} ms/clip, "
+            f"{dt / n_iter * 1e3:.2f} ms/batch)",
+            file=sys.stderr,
+        )
         if clips_per_sec > best:
             best = clips_per_sec
             best_batch = batch
