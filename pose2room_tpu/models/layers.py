@@ -278,7 +278,9 @@ class STGCNBlock(nn.Module):
         )
 
     def fold_eval_arrays(self, A):
-        """Operands for ops/stgcn_fused.py: (M_padded bf16, vecs f32, KB bf16).
+        """Operands for ops/stgcn_fused.py: (M_padded, vecs f32, KB), with
+        M/KB in the chain compute dtype (bf16 default; f32 for the
+        strict-parity eval config).
 
         Merged layout (v-major, c-minor) padded to a lane multiple; padded
         rows/cols of M are zero and padded affine entries are zero so padded
@@ -286,11 +288,12 @@ class STGCNBlock(nn.Module):
         """
         from pose2room_tpu.ops.stgcn_fused import pad_merged
 
+        cd = self.dtype or jnp.float32
         C, V = self.out_channels, self.num_joints
         W0 = V * C
         Wp = pad_merged(W0)
         M, bias_out = self._folded_graph_matrix(A, jnp.float32)
-        M = jnp.pad(M, ((0, Wp - W0), (0, Wp - W0))).astype(jnp.bfloat16)
+        M = jnp.pad(M, ((0, Wp - W0), (0, Wp - W0))).astype(cd)
 
         s1, b1 = self.tcn_bn1.affine()
         s2, b2 = self.tcn_bn2.affine()
@@ -312,4 +315,61 @@ class STGCNBlock(nn.Module):
         reps = 128 // C
         eye = jnp.eye(reps, dtype=taps.dtype)
         KB = jnp.einsum("sio,pq->spiqo", taps, eye).reshape(3, 128, 128)
-        return M, vecs, KB.astype(jnp.bfloat16)
+        return M, vecs, KB.astype(cd)
+
+    def fold_train_arrays(self, A):
+        """Operands for the fused TRAIN layer (ops/stgcn_train.py): padded
+        folded graph matrix + merged bias column + raw per-channel BN/conv
+        parameters (BN folding happens inside the layer each step, from the
+        LIVE batch statistics)."""
+        from pose2room_tpu.ops.stgcn_fused import pad_merged
+
+        C, V = self.out_channels, self.num_joints
+        W0 = V * C
+        Wp = pad_merged(W0)
+        M, bias_out = self._folded_graph_matrix(A, jnp.float32)
+        M = jnp.pad(M, ((0, Wp - W0), (0, Wp - W0))).astype(jnp.bfloat16)
+        bias_col = jnp.pad(bias_out.reshape(W0), (0, Wp - W0)).astype(
+            jnp.float32
+        )
+        return (
+            M,
+            bias_col,
+            self.tcn_bn1.scale.astype(jnp.float32),
+            self.tcn_bn1.bias.astype(jnp.float32),
+            self.tcn_conv.kernel[:, 0].astype(jnp.float32),  # (3, C, C)
+            self.tcn_conv.bias.astype(jnp.float32),
+            self.tcn_bn2.scale.astype(jnp.float32),
+            self.tcn_bn2.bias.astype(jnp.float32),
+        )
+
+    def apply_fused_train(self, hm, A, T):
+        """Run the block on merged (B, T, W) bf16 activations in TRAIN mode
+        through the custom-VJP fused layer, updating BN running statistics
+        exactly as BatchNormCompat would (momentum EMA of the live batch
+        moments)."""
+        from pose2room_tpu.ops.stgcn_train import make_train_layer
+
+        layer = make_train_layer(
+            bool(self.residual), self.num_joints, self.out_channels, int(T)
+        )
+        args = self.fold_train_arrays(A)
+        Wp = args[0].shape[1]
+        if self.residual and hm.shape[-1] < Wp:
+            # residual blocks add x to the padded-width output; in the
+            # backbone chain only block 0 (no residual) sees unpadded input
+            hm = jnp.pad(hm, ((0, 0), (0, 0), (0, Wp - hm.shape[-1])))
+        out, m1, v1, m2, v2 = layer(hm, *args)
+        if not self.is_initializing():
+            for bn, m, v in (
+                (self.tcn_bn1, m1, v1),
+                (self.tcn_bn2, m2, v2),
+            ):
+                mom = bn.momentum
+                bn.ra_mean.value = mom * bn.ra_mean.value + (
+                    1 - mom
+                ) * jax.lax.stop_gradient(m)
+                bn.ra_var.value = mom * bn.ra_var.value + (
+                    1 - mom
+                ) * jax.lax.stop_gradient(v)
+        return out

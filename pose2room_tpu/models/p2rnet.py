@@ -39,6 +39,11 @@ class P2RNetConfig:
     # fused Pallas ST-GCN eval chain (bf16-only; ops/stgcn_fused.py); the
     # flag exists for A/B measurement and equivalence tests
     fused_eval: bool = True
+    # fused Pallas ST-GCN TRAIN chain with a custom VJP through live BN
+    # statistics (bf16-only; ops/stgcn_train.py).  Inter-block activations
+    # are bf16 on this path (the module path keeps f32), so it is opt-in
+    # via model.fused_train until/unless a run prefers the speed
+    fused_train: bool = False
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -48,6 +53,7 @@ class P2RNetConfig:
         return cls(
             compute_dtype=model_cfg.get("compute_dtype", "float32"),
             fused_eval=model_cfg.get("fused_eval", True),
+            fused_train=model_cfg.get("fused_train", False),
             num_frames=data.get("num_frames", 768),
             num_seeds=data.get("num_seeds", 512),
             seed_sampling=data.get("seed_sampling", "uniform"),
@@ -78,6 +84,7 @@ class P2RNet(nn.Module):
             seed_sampling=c.seed_sampling,
             dtype=dtype,
             fused_eval=c.fused_eval,
+            fused_train=c.fused_train,
             name="backbone",
         )
         self.centervoting = CenterVote(

@@ -65,6 +65,10 @@ class STGCN(nn.Module):
     # fused Pallas block chain for bf16 eval (ops/stgcn_fused.py); off ->
     # always run the per-block module path (used by equivalence tests)
     fused_eval: bool = True
+    # fused Pallas TRAIN chain: custom VJP through live BN statistics
+    # (ops/stgcn_train.py); bf16-only, opt-in (inter-block activations are
+    # bf16 here vs the module path's f32)
+    fused_train: bool = False
 
     def setup(self):
         self.A = jnp.asarray(
@@ -138,13 +142,32 @@ class STGCN(nn.Module):
         # fused in-VMEM (ops/stgcn_fused.py; ~36% of generate time measured
         # as pure overhead on the unfused path, BENCH_NOTES.md).  Off-TPU
         # the same folded operands run through the bit-equivalent jnp form.
+        # the fused chain serves BOTH eval dtypes since round 3: bf16 (the
+        # official bench config) and f32 (the strict-parity config — same
+        # kernels, f32 tiles/MXU passes; reassociation-level numerics only)
         use_fused = (
             self.fused_eval
             and not train
+            and all(b.fusable for b in self.blocks)
+        )
+        use_fused_train = (
+            self.fused_train
+            and train
             and self.dtype == jnp.bfloat16
             and all(b.fusable for b in self.blocks)
         )
-        if use_fused:
+        if use_fused_train:
+            # Merged-layout train chain: graph matmuls in XLA, tconv/BN
+            # epilogues (and their VJP) as Pallas kernels, BatchNorm on live
+            # batch statistics with hand-written backward
+            # (ops/stgcn_train.py).  Same no-entry-pad trick as eval: block
+            # 0 has no residual, so it contracts the unpadded merged input.
+            C = h.shape[-1]
+            hm = h.astype(jnp.bfloat16).reshape(B, T, V * C)
+            for blk, imp in zip(self.blocks, self.edge_importance):
+                hm = blk.apply_fused_train(hm, self.A * imp, T)
+            h = hm[..., : V * C]
+        elif use_fused:
             from pose2room_tpu.ops.stgcn_fused import (
                 fused_stgcn_layer,
                 stgcn_layer_merged_ref,
@@ -155,7 +178,7 @@ class STGCN(nn.Module):
             # no entry pad: block 0 has no residual, so fused_stgcn_layer
             # contracts the unpadded merged input against M's first W0 rows
             # and the padded width first materializes as its OUTPUT
-            hm = h.astype(jnp.bfloat16).reshape(B, T, W0)
+            hm = h.astype(self.dtype or jnp.float32).reshape(B, T, W0)
             operands = [hm]
             for blk, imp in zip(self.blocks, self.edge_importance):
                 operands.extend(blk.fold_eval_arrays(self.A * imp))
