@@ -57,16 +57,17 @@ def pad_merged(width):
 
 
 def _graph_matmul_bn_relu(x, M, s1, b1):
-    """Graph matmul + BN1 affine + ReLU + bf16 cast, all in one XLA fusion.
+    """Graph matmul + BN1 affine + ReLU + compute-dtype cast, one XLA fusion.
 
     The dot keeps an f32 accumulator (rounding it to bf16 before the BN1
     affine measurably moved mAP through discrete FPS reselection,
     BENCH_NOTES.md); XLA fuses the affine/relu/cast into the dot's output
     fusion — the historical barrier to that fusion was the (V,C) reshape
     between the dot and the BN, which the merged layout removes — so t1
-    hits HBM as bf16: the downstream Pallas epilogue reads 4x less than it
-    would reading the f32 accumulator, and this matches the module path's
-    rounding point exactly (tcn_conv consumes bf16 there too).
+    hits HBM in the chain dtype (bf16 on the bf16 path: the downstream
+    Pallas epilogue reads 4x less than the f32 accumulator, and this
+    matches the module path's rounding point exactly — tcn_conv consumes
+    bf16 there too; the f32 chain keeps f32 end-to-end).
     """
     y1 = jnp.einsum(
         "bti,io->bto",
@@ -75,7 +76,7 @@ def _graph_matmul_bn_relu(x, M, s1, b1):
         preferred_element_type=jnp.float32,
     )
     return jnp.maximum(y1 * s1[None, None, :] + b1[None, None, :], 0.0).astype(
-        jnp.bfloat16
+        x.dtype
     )
 
 
@@ -100,6 +101,7 @@ def _epilogue_kernel(t1_ref, *rest, residual):
     else:
         vec_ref, kb_ref, out_ref = rest
     t1 = t1_ref[...]
+    dt = t1.dtype  # chain compute dtype: bf16 (default) or f32
     T, TW = t1.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (T, LANE), 0)
 
@@ -107,7 +109,7 @@ def _epilogue_kernel(t1_ref, *rest, residual):
     for g in range(TW // LANE):
         sl = slice(g * LANE, (g + 1) * LANE)
         # Row shifts per 128-lane group, in f32 (Mosaic's sublane rotate
-        # has no sub-32-bit lowering); the bf16 cast back for the MXU is
+        # has no sub-32-bit lowering); the dtype cast back for the MXU is
         # value-exact.  Working per group keeps the f32 intermediates'
         # footprint independent of the tile width.
         tg = t1[:, sl]
@@ -118,12 +120,12 @@ def _epilogue_kernel(t1_ref, *rest, residual):
         nxt = jnp.where(rows == T - 1, zero, pltpu.roll(tgf, T - 1, axis=0))
         groups.append(
             jnp.dot(
-                prev.astype(jnp.bfloat16), kb_ref[0],
+                prev.astype(dt), kb_ref[0],
                 preferred_element_type=jnp.float32,
             )
             + jnp.dot(tg, kb_ref[1], preferred_element_type=jnp.float32)
             + jnp.dot(
-                nxt.astype(jnp.bfloat16), kb_ref[2],
+                nxt.astype(dt), kb_ref[2],
                 preferred_element_type=jnp.float32,
             )
         )
@@ -134,14 +136,16 @@ def _epilogue_kernel(t1_ref, *rest, residual):
     out = y2 * s2 + b2
     if residual:
         out = out + x_ref[...].astype(jnp.float32)
-    out_ref[...] = jnp.maximum(out, 0.0).astype(jnp.bfloat16)
+    out_ref[...] = jnp.maximum(out, 0.0).astype(dt)
 
 
 def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
     """One st-gcn block over merged activations: XLA matmul + fused epilogue.
 
     Args:
-        x: (B, T, W) bfloat16.  With ``residual`` W must equal Wp =
+        x: (B, T, W) in the chain compute dtype — bf16 (default eval
+            config) or f32 (strict-parity eval; same kernels, wider tiles
+            in VMEM, f32 MXU passes).  With ``residual`` W must equal Wp =
             M.shape[1] (a multiple of 128, padded columns zero); without a
             residual W may be the UNPADDED merged width — the matmul
             contracts against M's first W rows and the input is never
@@ -157,14 +161,18 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
     """
     B, T, W = x.shape
     Wp = M.shape[1]
+    dt = x.dtype
     assert Wp % LANE == 0 and M.shape[0] == Wp, (x.shape, M.shape)
     assert W == Wp or (not residual and W <= Wp), (x.shape, M.shape)
     t1 = _graph_matmul_bn_relu(x, M[:W], vecs[0], vecs[1]).reshape(B * T, Wp)
     # wider 128-multiple tile that divides Wp: fewer, larger DMAs per cell
     # amortize issue cost (the kernel's f32 intermediates stay per-group,
-    # so tile width only costs the bf16 in/out buffers in VMEM)
+    # so tile width only costs the in/out buffers in VMEM).  f32 tiles are
+    # 2x the bytes — 1152-wide f32 cells blow the 16 MB scoped-VMEM limit
+    # (measured: 20.25M requested), so the f32 chain caps at 384
     TW = LANE
-    for cand in (1152, 384):
+    cands = (1152, 384) if dt == jnp.bfloat16 else (384,)
+    for cand in cands:
         if Wp % cand == 0:
             TW = cand
             break
@@ -189,7 +197,7 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
         grid=(B, Wp // TW),
         in_specs=in_specs,
         out_specs=tile,
-        out_shape=jax.ShapeDtypeStruct((B * T, Wp), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((B * T, Wp), dt),
         cost_estimate=pl.CostEstimate(
             flops=6 * B * T * Wp * LANE,
             bytes_accessed=3 * B * T * Wp * 2,
@@ -208,6 +216,7 @@ def stgcn_layer_merged_ref(x, M, vecs, KB, *, residual):
     """
     B, T, W = x.shape
     Wp = M.shape[1]
+    dt = x.dtype
     t1 = _graph_matmul_bn_relu(x, M[:W], vecs[0], vecs[1])
     s2, b2 = (vecs[i][None, None, :] for i in (2, 3))
     t1f = t1.astype(jnp.float32)
@@ -217,12 +226,12 @@ def stgcn_layer_merged_ref(x, M, vecs, KB, *, residual):
     # temporal taps act per 128-column group, same block-diagonal structure
     # the kernel uses per column tile
     G = Wp // LANE
-    taps = KB.astype(jnp.bfloat16)
+    taps = KB.astype(dt)
 
     def tconv(h, tap):
         return jnp.einsum(
             "btgk,ko->btgo",
-            h.astype(jnp.bfloat16).reshape(B, T, G, LANE),
+            h.astype(dt).reshape(B, T, G, LANE),
             tap,
             preferred_element_type=jnp.float32,
         ).reshape(B, T, Wp)
@@ -231,4 +240,4 @@ def stgcn_layer_merged_ref(x, M, vecs, KB, *, residual):
     out = y2 * s2 + b2
     if residual:
         out = out + x.astype(jnp.float32)
-    return jnp.maximum(out, 0.0).astype(jnp.bfloat16)
+    return jnp.maximum(out, 0.0).astype(dt)
