@@ -487,7 +487,13 @@ def make_train_layer(residual, V, C, T, interpret=False, custom_vjp=True):
         )
         n2 = (y2f - m2col) * inv2col
         dy2 = s2col * (dz - mdz_col - n2 * mdzn2_col)
-        dcb = _chan_sum(jnp.sum(dy2, axis=(0, 1)), C)
+        # the conv bias feeds straight into BN2, which absorbs per-channel
+        # shifts: d loss/d cb == 0 EXACTLY (per channel, Σ dy2 telescopes
+        # to s2*(Σdz - Σdz - mdzn2*Σn2) with Σn2 = 0 by definition of the
+        # mean; the same redundancy exists in the reference's
+        # Conv2d-before-BatchNorm).  Return the analytic zero instead of a
+        # full-array reduce that can only ever produce rounding noise.
+        dcb = jnp.zeros_like(g2)  # cb is (C,) f32 like g2
         dy2_b = dy2.astype(jnp.bfloat16).reshape(N, Wp)
 
         vecs = jnp.stack(
