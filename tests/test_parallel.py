@@ -76,6 +76,55 @@ def test_sharded_train_step_matches_single_device(rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_train_step_matches_single_device(rng):
+    """The fused Pallas train chain (custom VJP + platform_dependent) under
+    GSPMD batch sharding: same loss as the single-device run.  On the CPU
+    mesh the chain's jnp branch executes, so this pins down that the
+    custom-VJP boundary and its per-column stat reductions partition
+    cleanly over the 'data' axis (the stats are GLOBAL over the batch, so
+    XLA must insert cross-shard reductions inside the custom_vjp)."""
+    cfg = P2RNetConfig(
+        num_frames=48, num_seeds=32, num_proposals=8, num_gaussian=8,
+        compute_dtype="bfloat16", fused_train=True,
+    )
+    model = P2RNet(config=cfg)
+    key = jax.random.PRNGKey(0)
+    sample = np.zeros((8, cfg.num_frames, 53, 3), dtype=np.float32)
+    state, tx, _ = create_train_state(model, key, sample, {"lr": 1e-3})
+    train_step = make_train_step(model, tx, log_grad_norm=False)
+    batch = _batch(rng, 8, cfg)
+
+    dev0 = jax.devices()[0]
+    state_1 = jax.tree.map(lambda x: jnp.array(x), state)
+    batch_1 = {k: jax.device_put(v, dev0) for k, v in batch.items()}
+    new_1, losses_1 = train_step(state_1, batch_1, key)
+
+    mesh = make_mesh()
+    state_8 = replicate(state, mesh)
+    batch_8 = shard_batch(batch, mesh)
+    new_8, losses_8 = train_step(state_8, batch_8, key)
+
+    # Tolerances are sanity-level by necessity: at bf16, cross-shard
+    # reduction order perturbs activations at the last bit, and discrete
+    # FPS/ball-query reselection cascades that into O(%)-level loss drift —
+    # measured 2.5% here and 8.4% for the MODULE path under the identical
+    # bf16 setup, so this is inherent to bf16 data parallelism, not the
+    # fused chain (the strict partitioning check is the f32 module test
+    # above at rtol 1e-5).  What this pins down: the custom-VJP boundary
+    # compiles and executes under GSPMD, and the global-batch BN moments
+    # come out consistent.
+    np.testing.assert_allclose(
+        float(losses_1["total"]), float(losses_8["total"]), rtol=0.15
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(new_1.batch_stats)),
+        jax.tree.leaves(jax.device_get(new_8.batch_stats)),
+    ):
+        np.testing.assert_allclose(a, b, atol=5e-2, rtol=5e-2)
+    assert len(batch_8["input_joints"].sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_eval_step_sharded(rng):
     model = P2RNet(config=TINY)
     key = jax.random.PRNGKey(0)
