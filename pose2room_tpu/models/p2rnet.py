@@ -40,10 +40,12 @@ class P2RNetConfig:
     # flag exists for A/B measurement and equivalence tests
     fused_eval: bool = True
     # fused Pallas ST-GCN TRAIN chain with a custom VJP through live BN
-    # statistics (bf16-only; ops/stgcn_train.py).  Inter-block activations
-    # are bf16 on this path (the module path keeps f32), so it is opt-in
-    # via model.fused_train until/unless a run prefers the speed
-    fused_train: bool = False
+    # statistics (bf16-only — f32 training always uses the module path;
+    # ops/stgcn_train.py).  Inter-block activations are bf16 on this path
+    # (the module path keeps f32); default ON since the 30-epoch
+    # convergence A/B at production shapes tracked the module path
+    # (BENCH_NOTES.md) — model.fused_train: false restores the module path
+    fused_train: bool = True
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -53,7 +55,7 @@ class P2RNetConfig:
         return cls(
             compute_dtype=model_cfg.get("compute_dtype", "float32"),
             fused_eval=model_cfg.get("fused_eval", True),
-            fused_train=model_cfg.get("fused_train", False),
+            fused_train=model_cfg.get("fused_train", True),
             num_frames=data.get("num_frames", 768),
             num_seeds=data.get("num_seeds", 512),
             seed_sampling=data.get("seed_sampling", "uniform"),

@@ -66,9 +66,9 @@ class STGCN(nn.Module):
     # always run the per-block module path (used by equivalence tests)
     fused_eval: bool = True
     # fused Pallas TRAIN chain: custom VJP through live BN statistics
-    # (ops/stgcn_train.py); bf16-only, opt-in (inter-block activations are
-    # bf16 here vs the module path's f32)
-    fused_train: bool = False
+    # (ops/stgcn_train.py); bf16-only (inter-block activations are bf16
+    # here vs the module path's f32; convergence A/B in BENCH_NOTES.md)
+    fused_train: bool = True
 
     def setup(self):
         self.A = jnp.asarray(
