@@ -14,16 +14,17 @@ replacements, same shapes.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+here = os.path.dirname(os.path.abspath(__file__))
+
 # measured by scripts/measure_torch_baseline.py (torch CPU, batch-1..8 sweep)
 TORCH_CPU_CLIPS_PER_SEC = None  # filled from BENCH_NOTES.md if measured
 try:
-    import os, re
-
-    here = os.path.dirname(os.path.abspath(__file__))
+    import re
     with open(os.path.join(here, "BENCH_NOTES.md")) as f:
         m = re.search(r"torch_cpu_clips_per_sec:\s*([0-9.]+)", f.read())
         if m:
@@ -182,35 +183,79 @@ def main():
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
-    best = 0.0
-    best_batch = 1
-    for batch in (int(b) for b in args.batches.split(",")):
-        x = rng.randn(batch, 768, 53, 3).astype(np.float32) * 0.5
-        x[..., 0] += np.linspace(0, 3, 768)[None, :, None]
-        # pre-stage on device: measures chip throughput; a production input
-        # pipeline overlaps H2D with compute (and this dev harness reaches
-        # the chip through a network tunnel, so per-call H2D is not
-        # representative of a real TPU host)
-        x = jax.device_put(jnp.asarray(x), jax.devices()[0])
-        out = generate(variables, x)
-        jax.block_until_ready(out)
-        n_iter = 30
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
+
+    def run_sweep():
+        best, best_batch = 0.0, 1
+        for batch in (int(b) for b in args.batches.split(",")):
+            x = rng.randn(batch, 768, 53, 3).astype(np.float32) * 0.5
+            x[..., 0] += np.linspace(0, 3, 768)[None, :, None]
+            # pre-stage on device: measures chip throughput; a production
+            # input pipeline overlaps H2D with compute (and this dev harness
+            # reaches the chip through a network tunnel, so per-call H2D is
+            # not representative of a real TPU host)
+            x = jax.device_put(jnp.asarray(x), jax.devices()[0])
             out = generate(variables, x)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        clips_per_sec = batch * n_iter / dt
+            jax.block_until_ready(out)
+            n_iter = 30
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                out = generate(variables, x)
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            clips_per_sec = batch * n_iter / dt
+            print(
+                f"sweep batch={batch}: {clips_per_sec:.1f} clips/s "
+                f"({dt / n_iter * 1e3 / batch:.2f} ms/clip, "
+                f"{dt / n_iter * 1e3:.2f} ms/batch)",
+                file=sys.stderr,
+            )
+            if clips_per_sec > best:
+                best = clips_per_sec
+                best_batch = batch
+        return best, best_batch
+
+    best, best_batch = run_sweep()
+
+    # Machine-health plausibility guard: the selfcheck gates CORRECTNESS,
+    # but a recorded environment anomaly (BENCH_NOTES.md: one run reported
+    # ~50 clips/s across all batch sizes with selftests green, and the next
+    # identical run was normal) could still publish a garbage number.
+    # Compare against the last recorded headline for this dtype; if off by
+    # >2x either way, re-run the whole sweep once and fail with a distinct
+    # rc if still implausible.
+    last_path = os.path.join(here, "last_bench.json")
+    expected = None
+    if jax.default_backend() != "cpu":
+        try:
+            with open(last_path) as f:
+                expected = json.load(f).get(args.dtype)
+        except Exception:
+            expected = None
+    if expected and not (expected / 2 <= best <= expected * 2):
         print(
-            f"sweep batch={batch}: {clips_per_sec:.1f} clips/s "
-            f"({dt / n_iter * 1e3 / batch:.2f} ms/clip, "
-            f"{dt / n_iter * 1e3:.2f} ms/batch)",
+            f"bench.py: headline {best:.1f} clips/s is >2x off the last "
+            f"recorded {expected:.1f} — re-running once (machine-health "
+            "guard)",
             file=sys.stderr,
         )
-        if clips_per_sec > best:
-            best = clips_per_sec
-            best_batch = batch
-
+        best, best_batch = run_sweep()
+        if not (expected / 2 <= best <= expected * 2):
+            print(
+                f"bench.py: still implausible ({best:.1f} vs recorded "
+                f"{expected:.1f}) — refusing to publish; likely an "
+                "environment anomaly, re-run on a healthy machine",
+                file=sys.stderr,
+            )
+            sys.exit(3)
+    if jax.default_backend() != "cpu":
+        try:
+            with open(last_path) as f:
+                rec = json.load(f)
+        except Exception:
+            rec = {}
+        rec[args.dtype] = round(best, 2)
+        with open(last_path, "w") as f:
+            json.dump(rec, f)
     vs_baseline = best / TORCH_CPU_CLIPS_PER_SEC if TORCH_CPU_CLIPS_PER_SEC else None
     print(
         json.dumps(

@@ -200,7 +200,7 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B * T, Wp), dt),
         cost_estimate=pl.CostEstimate(
             flops=6 * B * T * Wp * LANE,
-            bytes_accessed=3 * B * T * Wp * 2,
+            bytes_accessed=3 * B * T * Wp * x.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -23,6 +23,16 @@ from pose2room_tpu.utils.logger import LossRecorder
 from pose2room_tpu.utils.vis import dump_predictions
 
 
+def resolve_test_batch_size(value):
+    """'auto' scales the eval batch with the mesh so multi-chip test runs
+    shard usefully out of the box (SCALING.md: eval only speeds up when
+    test.batch_size >= n_devices); literal 1 stays the reference-parity
+    default (reference p2rnet_test.yaml:36)."""
+    if value == "auto":
+        return max(jax.local_device_count(), 1)
+    return int(value)
+
+
 def run(cfg):
     from pose2room_tpu.runners.train import _check_split
 
@@ -37,9 +47,12 @@ def run(cfg):
         augment=False,
         use_height=not data_cfg.get("no_height", True),
     )
+    batch_size = resolve_test_batch_size(cfg.config["test"].get("batch_size", 1))
+    if cfg.config["test"].get("batch_size") == "auto":
+        cfg.log_string(f"test.batch_size: auto -> {batch_size}")
     loader = DataLoader(
         ds,
-        batch_size=cfg.config["test"].get("batch_size", 1),
+        batch_size=batch_size,
         shuffle=False,
         num_workers=cfg.config.get("device", {}).get("num_workers", 8) or 0,
         # per-host shard of the test set; AP/loss state is re-unioned across

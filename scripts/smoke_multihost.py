@@ -157,11 +157,11 @@ def main():
     jax.block_until_ready(new_state.params)
     losses = {k: float(v) for k, v in losses.items()}
 
-    # NOTE on shard semantics: with the interleaved host shard, the global
-    # array's row order differs from global_batch's (device d holds global
-    # row (d % P) * local + d // P)... but the LOSS is a mean over the batch
-    # axis, which is permutation-invariant — so it must equal the
-    # single-process value bit-for-bit up to reduction order.
+    # NOTE on shard semantics: the host shard above is CONTIGUOUS
+    # (process p holds rows [p*per, (p+1)*per)), so the reassembled global
+    # array has exactly global_batch's row order — the loss comparison below
+    # is a like-for-like check, not a permutation-invariance argument (the
+    # train forward draws MDN noise by batch position, so row order matters).
 
     # --- test-mode metric union (allgather_object over process_allgather) ---
     n_scans = 6

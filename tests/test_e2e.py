@@ -167,3 +167,14 @@ def test_resume_from_previous_run(workspace):
     # resumed at epoch 2 -> only epoch 3/3 runs
     assert "Epoch 3/3" in joined
     assert "Epoch 1/3" not in joined
+
+
+def test_resolve_test_batch_size():
+    import jax
+
+    from pose2room_tpu.runners.test import resolve_test_batch_size
+
+    assert resolve_test_batch_size(1) == 1
+    assert resolve_test_batch_size("4") == 4
+    # 'auto' scales with the mesh (conftest forces an 8-device CPU mesh)
+    assert resolve_test_batch_size("auto") == max(jax.local_device_count(), 1)

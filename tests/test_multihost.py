@@ -86,9 +86,10 @@ def test_two_process_run_matches_single_process(tmp_path):
     assert ref["process_count"] == 1 and ref["device_count"] == 8
     assert got["process_count"] == 2 and got["device_count"] == 8
 
-    # sharded-jit loss: mean over the global batch axis is permutation
-    # invariant, so the 2-process interleaved shard must reproduce the
-    # single-process value (tiny reduction-order slack only)
+    # sharded-jit loss: the 2-process shard is CONTIGUOUS (process p holds
+    # rows [p*per, (p+1)*per)), so the reassembled global batch matches the
+    # single-process one row-for-row and the loss must reproduce it (tiny
+    # reduction-order slack only)
     for k, v in ref["losses"].items():
         np.testing.assert_allclose(got["losses"][k], v, rtol=2e-5, atol=1e-6)
 
