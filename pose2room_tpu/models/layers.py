@@ -317,6 +317,71 @@ class STGCNBlock(nn.Module):
         KB = jnp.einsum("sio,pq->spiqo", taps, eye).reshape(3, 128, 128)
         return M, vecs, KB.astype(cd)
 
+    def fold_eval_arrays_sparse(self, A, order, vlist, wlist):
+        """Operands for the block-sparse eval matmul (ops/stgcn_sparse.py):
+        packed nonzero 128x128 tiles of the JOINT-PERMUTED folded matrix +
+        permuted per-column vectors + the (permutation-invariant) temporal
+        taps.
+
+        order: (Vp,) static numpy joint permutation (slots >= num_joints
+            are pad joints); vlist/wlist: static numpy int32 tile
+            coordinates from sparse_tile_lists (CSR-by-output-column).
+
+        The tiles are built directly from the (2, 2) joint sub-blocks —
+        tile[(a,i),(b,o)] = sum_k A_k[va, wb] W_k[i, o] — so the dense
+        (Wp, Wp) matrix never materializes on this path.
+        """
+        import numpy as np
+
+        cd = self.dtype or jnp.float32
+        C, V = self.out_channels, self.num_joints
+        K = self.spatial_kernel_size
+        kernel, bias = self.gcn_dense()
+        Wk = kernel.reshape(self.in_channels, K, C)  # (i, k, o)
+        order = np.asarray(order)
+        Vp = len(order)
+        Ap = jnp.zeros((K, Vp, Vp), A.dtype).at[:, :V, :V].set(A)
+        Ap = Ap[:, order][:, :, order]
+        vj = np.stack([2 * vlist, 2 * vlist + 1], axis=1)  # (nnz, 2)
+        wj = np.stack([2 * wlist, 2 * wlist + 1], axis=1)
+        Asub = Ap[:, vj[:, :, None], wj[:, None, :]]  # (K, nnz, 2, 2)
+        tiles = jnp.einsum(
+            "knab,iko->naibo",
+            Asub.astype(jnp.float32),
+            Wk.astype(jnp.float32),
+        ).reshape(len(vlist), 2 * C, 2 * C)
+
+        # per-column vectors in permuted layout; pad slots exactly zero so
+        # pad columns stay zero through the chain (incl. mid-order pads)
+        mask = (order < V).astype(np.float32)[:, None]  # (Vp, 1) static
+        bias_out = jnp.einsum(
+            "kc,kw->wc", bias.reshape(K, C), jnp.sum(Ap, axis=1)
+        )  # (Vp, C), pad cols of Ap are zero
+        s1, b1 = self.tcn_bn1.affine()
+        s2, b2 = self.tcn_bn2.affine()
+        cb = self.tcn_conv.bias.astype(jnp.float32)
+        Wp = Vp * C
+
+        def per_joint(row_c):
+            return (mask * row_c[None, :]).reshape(Wp)
+
+        s1t = per_joint(s1)
+        rows = [
+            s1t,
+            bias_out.reshape(Wp) * s1t + per_joint(b1),
+            per_joint(s2),
+            per_joint(b2 + cb * s2),
+        ]
+        vecs = jnp.zeros((8, Wp), jnp.float32)
+        for i, r in enumerate(rows):
+            vecs = vecs.at[i].set(r.astype(jnp.float32))
+
+        taps = self.tcn_conv.kernel[:, 0]  # (3, C, C)
+        reps = 128 // C
+        eye = jnp.eye(reps, dtype=taps.dtype)
+        KB = jnp.einsum("sio,pq->spiqo", taps, eye).reshape(3, 128, 128)
+        return tiles.astype(cd), vecs, KB.astype(cd)
+
     def fold_train_arrays(self, A):
         """Operands for the fused TRAIN layer (ops/stgcn_train.py): padded
         folded graph matrix + merged bias column + raw per-channel BN/conv
@@ -328,7 +393,9 @@ class STGCNBlock(nn.Module):
         W0 = V * C
         Wp = pad_merged(W0)
         M, bias_out = self._folded_graph_matrix(A, jnp.float32)
-        M = jnp.pad(M, ((0, Wp - W0), (0, Wp - W0))).astype(jnp.bfloat16)
+        M = jnp.pad(M, ((0, Wp - W0), (0, Wp - W0))).astype(
+            self.dtype or jnp.float32
+        )
         bias_col = jnp.pad(bias_out.reshape(W0), (0, Wp - W0)).astype(
             jnp.float32
         )
@@ -344,14 +411,15 @@ class STGCNBlock(nn.Module):
         )
 
     def apply_fused_train(self, hm, A, T):
-        """Run the block on merged (B, T, W) bf16 activations in TRAIN mode
-        through the custom-VJP fused layer, updating BN running statistics
-        exactly as BatchNormCompat would (momentum EMA of the live batch
-        moments)."""
+        """Run the block on merged (B, T, W) chain-dtype activations in
+        TRAIN mode through the custom-VJP fused layer, updating BN running
+        statistics exactly as BatchNormCompat would (momentum EMA of the
+        live batch moments)."""
         from pose2room_tpu.ops.stgcn_train import make_train_layer
 
         layer = make_train_layer(
-            bool(self.residual), self.num_joints, self.out_channels, int(T)
+            bool(self.residual), self.num_joints, self.out_channels, int(T),
+            dtype=jnp.dtype(self.dtype or jnp.float32).name,
         )
         args = self.fold_train_arrays(A)
         Wp = args[0].shape[1]

@@ -39,12 +39,19 @@ class P2RNetConfig:
     # fused Pallas ST-GCN eval chain (bf16-only; ops/stgcn_fused.py); the
     # flag exists for A/B measurement and equivalence tests
     fused_eval: bool = True
+    # block-sparse folded graph matmul for the fused eval chain
+    # (ops/stgcn_sparse.py): skip the zero 128x128 tiles of the folded
+    # matrix under a joint permutation (279/729 tiles).  Default OFF until
+    # the on-chip A/B lands (BENCH_NOTES.md); model.sparse_eval: true
+    # enables it
+    sparse_eval: bool = False
     # fused Pallas ST-GCN TRAIN chain with a custom VJP through live BN
-    # statistics (bf16-only — f32 training always uses the module path;
-    # ops/stgcn_train.py).  Inter-block activations are bf16 on this path
-    # (the module path keeps f32); default ON since the 30-epoch
-    # convergence A/B at production shapes tracked the module path
-    # (BENCH_NOTES.md) — model.fused_train: false restores the module path
+    # statistics (ops/stgcn_train.py); both compute dtypes since round 4.
+    # On bf16, inter-block activations are bf16 on this path (the module
+    # path keeps f32); default ON since the 30-epoch convergence A/B at
+    # production shapes tracked the module path (BENCH_NOTES.md).  On f32
+    # the chain is a pure reassociation of the module math (384-wide
+    # tiles).  model.fused_train: false restores the module path
     fused_train: bool = True
 
     @classmethod
@@ -55,6 +62,7 @@ class P2RNetConfig:
         return cls(
             compute_dtype=model_cfg.get("compute_dtype", "float32"),
             fused_eval=model_cfg.get("fused_eval", True),
+            sparse_eval=model_cfg.get("sparse_eval", False),
             fused_train=model_cfg.get("fused_train", True),
             num_frames=data.get("num_frames", 768),
             num_seeds=data.get("num_seeds", 512),
@@ -86,6 +94,7 @@ class P2RNet(nn.Module):
             seed_sampling=c.seed_sampling,
             dtype=dtype,
             fused_eval=c.fused_eval,
+            sparse_eval=c.sparse_eval,
             fused_train=c.fused_train,
             name="backbone",
         )

@@ -22,9 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pose2room_tpu.models.graph import build_spatial_graph
-from pose2room_tpu.models.layers import MLP1x1, STGCNBlock
+from pose2room_tpu.models.graph import SPARSE_JOINT_ORDER, build_spatial_graph
+from pose2room_tpu.models.layers import MLP1x1, STGCNBlock, _DenseParams
 from pose2room_tpu.ops.sampling import gather_points
+from pose2room_tpu.ops.stgcn_sparse import sparse_tile_lists
 
 
 def arc_length_seed_inds(origin_traj, n_seeds):
@@ -65,9 +66,17 @@ class STGCN(nn.Module):
     # fused Pallas block chain for bf16 eval (ops/stgcn_fused.py); off ->
     # always run the per-block module path (used by equivalence tests)
     fused_eval: bool = True
+    # block-sparse folded matmul inside the fused eval chain
+    # (ops/stgcn_sparse.py): only the nonzero 128x128 tiles of the
+    # joint-permuted folded matrix are multiplied (279/729 for the default
+    # skeleton); off -> dense XLA matmul (the round-3 form).  Default OFF
+    # until the on-chip A/B lands (BENCH_NOTES.md)
+    sparse_eval: bool = False
     # fused Pallas TRAIN chain: custom VJP through live BN statistics
-    # (ops/stgcn_train.py); bf16-only (inter-block activations are bf16
-    # here vs the module path's f32; convergence A/B in BENCH_NOTES.md)
+    # (ops/stgcn_train.py); both compute dtypes since round 4 (on bf16 the
+    # inter-block activations are bf16 vs the module path's f32 —
+    # convergence A/B in BENCH_NOTES.md; on f32 the chain is a pure
+    # reassociation of the module math)
     fused_train: bool = True
 
     def setup(self):
@@ -98,8 +107,39 @@ class STGCN(nn.Module):
             self.param(f"edge_importance{i}", nn.initializers.ones, self.A.shape)
             for i in range(len(blocks))
         ]
-        self.conv_joint = nn.Dense(self.out_channels, dtype=self.dtype, name="conv_joint")
+        # Dense-compatible parameter holder ('conv_joint/{kernel,bias}',
+        # same shapes/init as nn.Dense) so the sparse eval path can fold
+        # the joint permutation into the kernel rows instead of paying an
+        # un-permute pass over the activations.
+        self.conv_joint = _DenseParams(
+            self.num_joints * self.out_joint_channels,
+            self.out_channels,
+            name="conv_joint",
+        )
         self._window_idx = jnp.asarray(window_index_table(self.num_frames, self.knn))
+        # static block-sparsity data for the eval matmul: joint permutation
+        # (optimized pairing for the default 53-joint skeleton, natural
+        # order otherwise) + CSR tile lists over the support of A
+        V = self.num_joints
+        Vp = V + (V % 2)
+        if V == 53:
+            order = SPARSE_JOINT_ORDER
+        else:
+            order = np.arange(Vp, dtype=np.int32)
+        # pure-numpy support (self.A may be traced under jit): the baked
+        # adjacency's nonzero pattern — edge-importance multiplies A
+        # elementwise, so the runtime support is always a subset
+        support = (
+            build_spatial_graph(self.num_joints, max_hop=self.max_hop) != 0
+        ).any(0)
+        self._sparse_order = order
+        self._sparse_col_off, self._sparse_vlist = sparse_tile_lists(
+            support, order
+        )
+        self._sparse_wlist = np.repeat(
+            np.arange(Vp // 2, dtype=np.int32),
+            np.diff(self._sparse_col_off).astype(np.int64),
+        )
 
     def __call__(self, input_joints, train: bool = False):
         """input_joints: (B, T, V, 3) -> dict of seed tensors."""
@@ -153,20 +193,103 @@ class STGCN(nn.Module):
         use_fused_train = (
             self.fused_train
             and train
-            and self.dtype == jnp.bfloat16
             and all(b.fusable for b in self.blocks)
         )
         if use_fused_train:
             # Merged-layout train chain: graph matmuls in XLA, tconv/BN
             # epilogues (and their VJP) as Pallas kernels, BatchNorm on live
             # batch statistics with hand-written backward
-            # (ops/stgcn_train.py).  Same no-entry-pad trick as eval: block
-            # 0 has no residual, so it contracts the unpadded merged input.
+            # (ops/stgcn_train.py).  Serves both compute dtypes since round
+            # 4 (f32: 384-wide tiles, every rounding cast a no-op).  Same
+            # no-entry-pad trick as eval: block 0 has no residual, so it
+            # contracts the unpadded merged input.
             C = h.shape[-1]
-            hm = h.astype(jnp.bfloat16).reshape(B, T, V * C)
+            hm = h.astype(self.dtype or jnp.float32).reshape(B, T, V * C)
             for blk, imp in zip(self.blocks, self.edge_importance):
                 hm = blk.apply_fused_train(hm, self.A * imp, T)
             h = hm[..., : V * C]
+        use_sparse = (
+            use_fused and self.sparse_eval and h.shape[-1] == 64
+        )
+        cj_rows = None  # set on the sparse path: permuted conv_joint rows
+        if use_sparse:
+            # Block-sparse chain: activations live in the JOINT-PERMUTED
+            # padded merged layout end-to-end (entry gather below); the
+            # graph matmul multiplies only the nonzero 128x128 tiles of
+            # the permuted folded matrix (ops/stgcn_sparse.py), and the
+            # permutation is folded into conv_joint's kernel rows on exit
+            # (zero runtime cost).
+            from pose2room_tpu.ops.stgcn_fused import (
+                fused_epilogue,
+                stgcn_layer_merged_ref,
+            )
+            from pose2room_tpu.ops.stgcn_sparse import (
+                sparse_graph_matmul_bn_relu,
+            )
+
+            order = self._sparse_order
+            Vp = len(order)
+            C = h.shape[-1]
+            Wp = Vp * C
+            dt = self.dtype or jnp.float32
+            hp = h
+            if Vp > V:
+                hp = jnp.concatenate(
+                    [h, jnp.zeros_like(h[:, :, : Vp - V])], axis=2
+                )
+            hm = hp[:, :, order, :].reshape(B, T, Wp).astype(dt)
+            col_off = jnp.asarray(self._sparse_col_off)
+            vlist = jnp.asarray(self._sparse_vlist)
+            operands = [hm, col_off, vlist]
+            for blk, imp in zip(self.blocks, self.edge_importance):
+                operands.extend(
+                    blk.fold_eval_arrays_sparse(
+                        self.A * imp,
+                        order,
+                        self._sparse_vlist,
+                        self._sparse_wlist,
+                    )
+                )
+            residuals = tuple(blk.residual for blk in self.blocks)
+            vl_np, wl_np = self._sparse_vlist, self._sparse_wlist
+
+            def run_tpu(hm, col_off, vlist, *flat):
+                for i, res in enumerate(residuals):
+                    tiles, vecs, KB = flat[3 * i : 3 * i + 3]
+                    t1 = sparse_graph_matmul_bn_relu(
+                        hm, tiles, vecs, col_off, vlist
+                    )
+                    hm = fused_epilogue(
+                        t1, hm if res else None, vecs, KB, residual=res
+                    )
+                return hm
+
+            def run_ref(hm, col_off, vlist, *flat):
+                G = Wp // 128
+                for i, res in enumerate(residuals):
+                    tiles, vecs, KB = flat[3 * i : 3 * i + 3]
+                    dense = (
+                        jnp.zeros((G, 128, G, 128), tiles.dtype)
+                        .at[vl_np, :, wl_np, :]
+                        .set(tiles)
+                        .reshape(Wp, Wp)
+                    )
+                    hm = stgcn_layer_merged_ref(
+                        hm, dense, vecs, KB, residual=res
+                    )
+                return hm
+
+            h = jax.lax.platform_dependent(
+                *operands, tpu=run_tpu, default=run_ref
+            )
+            # conv_joint kernel rows follow the permutation; pad slots get
+            # a zero row so pad columns contribute nothing
+            cj_rows = np.where(
+                np.asarray(order)[:, None] < V,
+                np.asarray(order)[:, None].astype(np.int64) * C
+                + np.arange(C)[None],
+                V * C,
+            ).reshape(-1)
         elif use_fused:
             from pose2room_tpu.ops.stgcn_fused import (
                 fused_stgcn_layer,
@@ -199,14 +322,25 @@ class STGCN(nn.Module):
                 default=_chain(stgcn_layer_merged_ref),
             )
             h = hm[..., :W0]
-        else:
+        elif not use_fused_train:
             for block, importance in zip(self.blocks, self.edge_importance):
                 h = block(h, self.A * importance, train=train)
             # flatten joints -> per-frame features. NOTE channel order is
             # (v, c) here vs the reference's (c, v) (stgcn.py:137-138) — a
             # weight converter must permute conv_joint accordingly.
             h = h.reshape(B, T, V * h.shape[-1])
-        frame_feat = self.conv_joint(h).astype(jnp.float32)  # (B,T,256)
+        # conv_joint with nn.Dense's exact promotion semantics (params are
+        # a Dense-shaped holder so the sparse path can permute the rows)
+        cj_kernel, cj_bias = self.conv_joint()
+        if cj_rows is not None:
+            cj_kernel = jnp.concatenate(
+                [cj_kernel, jnp.zeros((1, cj_kernel.shape[1]), cj_kernel.dtype)]
+            )[cj_rows]
+        cj_dt = self.dtype or jnp.promote_types(h.dtype, cj_kernel.dtype)
+        frame_feat = (
+            jnp.dot(h.astype(cj_dt), cj_kernel.astype(cj_dt))
+            + cj_bias.astype(cj_dt)
+        ).astype(jnp.float32)  # (B,T,256)
 
         seed_skeleton = jnp.take_along_axis(
             input_joints[..., :3], seed_inds[:, :, None, None], axis=1

@@ -139,32 +139,19 @@ def _epilogue_kernel(t1_ref, *rest, residual):
     out_ref[...] = jnp.maximum(out, 0.0).astype(dt)
 
 
-def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
-    """One st-gcn block over merged activations: XLA matmul + fused epilogue.
+def fused_epilogue(t1, x, vecs, KB, *, residual, interpret=False):
+    """The Pallas tconv+BN2+residual+ReLU epilogue on merged activations.
 
-    Args:
-        x: (B, T, W) in the chain compute dtype — bf16 (default eval
-            config) or f32 (strict-parity eval; same kernels, wider tiles
-            in VMEM, f32 MXU passes).  With ``residual`` W must equal Wp =
-            M.shape[1] (a multiple of 128, padded columns zero); without a
-            residual W may be the UNPADDED merged width — the matmul
-            contracts against M's first W rows and the input is never
-            touched again, so the first block needs no input pad/copy at
-            all (the entry pad cost a physical copy, BENCH_NOTES.md).
-        M: (Wp, Wp) bfloat16 folded graph-conv matrix (padding rows/cols 0).
-        vecs: (8, Wp) float32 — rows [s1, b1', s2, b2', *unused] (see
-            models/layers.py:STGCNBlock.fold_eval_arrays for the folding).
-        KB: (3, 128, 128) bfloat16 block-diagonal temporal taps.
-        residual: static; identity residual on/off (block 0 has none).
-    Returns:
-        (B, T, Wp) bfloat16.
+    t1: (B, T, Wp) = relu(BN1(graph conv)) in the chain dtype; x: block
+    input (same shape) — only read when ``residual``; pass None otherwise.
+    Factored out of fused_stgcn_layer so the block-sparse matmul path
+    (ops/stgcn_sparse.py) can reuse it — the epilogue is joint-permutation
+    invariant (identical temporal taps per joint; per-column vectors are
+    permuted by the caller).
     """
-    B, T, W = x.shape
-    Wp = M.shape[1]
-    dt = x.dtype
-    assert Wp % LANE == 0 and M.shape[0] == Wp, (x.shape, M.shape)
-    assert W == Wp or (not residual and W <= Wp), (x.shape, M.shape)
-    t1 = _graph_matmul_bn_relu(x, M[:W], vecs[0], vecs[1]).reshape(B * T, Wp)
+    B, T, Wp = t1.shape
+    dt = t1.dtype
+    t1 = t1.reshape(B * T, Wp)
     # wider 128-multiple tile that divides Wp: fewer, larger DMAs per cell
     # amortize issue cost (the kernel's f32 intermediates stay per-group,
     # so tile width only costs the in/out buffers in VMEM).  f32 tiles are
@@ -200,7 +187,7 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B * T, Wp), dt),
         cost_estimate=pl.CostEstimate(
             flops=6 * B * T * Wp * LANE,
-            bytes_accessed=3 * B * T * Wp * x.dtype.itemsize,
+            bytes_accessed=3 * B * T * Wp * t1.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -208,16 +195,41 @@ def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
     return out.reshape(B, T, Wp)
 
 
-def stgcn_layer_merged_ref(x, M, vecs, KB, *, residual):
-    """Pure-jnp reference of the fused layer (same operands, same math).
+def fused_stgcn_layer(x, M, vecs, KB, *, residual, interpret=False):
+    """One st-gcn block over merged activations: XLA matmul + fused epilogue.
 
-    Used as the non-TPU branch of lax.platform_dependent and as the golden
-    reference for the kernel tests.  Shapes as in fused_stgcn_layer.
+    Args:
+        x: (B, T, W) in the chain compute dtype — bf16 (default eval
+            config) or f32 (strict-parity eval; same kernels, wider tiles
+            in VMEM, f32 MXU passes).  With ``residual`` W must equal Wp =
+            M.shape[1] (a multiple of 128, padded columns zero); without a
+            residual W may be the UNPADDED merged width — the matmul
+            contracts against M's first W rows and the input is never
+            touched again, so the first block needs no input pad/copy at
+            all (the entry pad cost a physical copy, BENCH_NOTES.md).
+        M: (Wp, Wp) bfloat16 folded graph-conv matrix (padding rows/cols 0).
+        vecs: (8, Wp) float32 — rows [s1, b1', s2, b2', *unused] (see
+            models/layers.py:STGCNBlock.fold_eval_arrays for the folding).
+        KB: (3, 128, 128) bfloat16 block-diagonal temporal taps.
+        residual: static; identity residual on/off (block 0 has none).
+    Returns:
+        (B, T, Wp) bfloat16.
     """
     B, T, W = x.shape
     Wp = M.shape[1]
-    dt = x.dtype
+    assert Wp % LANE == 0 and M.shape[0] == Wp, (x.shape, M.shape)
+    assert W == Wp or (not residual and W <= Wp), (x.shape, M.shape)
     t1 = _graph_matmul_bn_relu(x, M[:W], vecs[0], vecs[1])
+    return fused_epilogue(
+        t1, x if residual else None, vecs, KB,
+        residual=residual, interpret=interpret,
+    )
+
+
+def epilogue_merged_ref(t1, x, vecs, KB, *, residual):
+    """Pure-jnp reference of fused_epilogue (same operands, same math)."""
+    B, T, Wp = t1.shape
+    dt = t1.dtype
     s2, b2 = (vecs[i][None, None, :] for i in (2, 3))
     t1f = t1.astype(jnp.float32)
     zero = jnp.zeros_like(t1f[:, :1])
@@ -241,3 +253,16 @@ def stgcn_layer_merged_ref(x, M, vecs, KB, *, residual):
     if residual:
         out = out + x.astype(jnp.float32)
     return jnp.maximum(out, 0.0).astype(dt)
+
+
+def stgcn_layer_merged_ref(x, M, vecs, KB, *, residual):
+    """Pure-jnp reference of the fused layer (same operands, same math).
+
+    Used as the non-TPU branch of lax.platform_dependent and as the golden
+    reference for the kernel tests.  Shapes as in fused_stgcn_layer.
+    """
+    W = x.shape[-1]
+    t1 = _graph_matmul_bn_relu(x, M[:W], vecs[0], vecs[1])
+    return epilogue_merged_ref(
+        t1, x if residual else None, vecs, KB, residual=residual
+    )
