@@ -33,11 +33,15 @@ Division of labor (same benchmark-driven split as the eval chain):
   (the merged layout is v-major/c-minor, so a (Wp/C, C) reshape of a
   column vector is free), identical values up to reassociation.
 
-Rounding points: inter-block activations are bf16 (as in the fused eval
-chain; the module train path keeps f32 between blocks) and BN1 consumes the
-bf16-rounded matmul output — a bf16-level divergence from the module path,
-validated by gradient-equivalence tests (tests/test_stgcn_train.py) and a
-convergence A/B (BENCH_NOTES.md).  Gated to compute_dtype=bfloat16.
+Rounding points (chain dtype = the model compute dtype, bf16 or f32 since
+round 4 — mirroring the round-3 f32 extension of the eval chain): on the
+bf16 path inter-block activations are bf16 (the module train path keeps f32
+between blocks) and BN1 consumes the bf16-rounded matmul output — a
+bf16-level divergence from the module path, validated by
+gradient-equivalence tests (tests/test_stgcn_train.py) and a convergence
+A/B (BENCH_NOTES.md).  On the f32 path every rounding cast is a no-op, so
+the chain differs from the module path only by reassociation; tiles are
+384-wide (the scoped-VMEM cap, same as ops/stgcn_fused.py's f32 leg).
 
 Reference hot loop being replaced: stgcn_layers.py:362-439 (st_gcn_block
 train forward/backward through torch BatchNorm2d).
@@ -54,8 +58,11 @@ LANE = 128
 _EPS = 1e-5
 
 
-def _pick_tile(Wp):
-    for cand in (1152, 384):
+def _pick_tile(Wp, itemsize=2):
+    # f32 tiles cap at 384 lanes (scoped-VMEM; same rule as the eval
+    # chain's f32 leg in ops/stgcn_fused.py)
+    cands = (1152, 384) if itemsize == 2 else (384,)
+    for cand in cands:
         if Wp % cand == 0:
             return cand
     return LANE
@@ -96,16 +103,18 @@ def _fold_diag_blocks(m, C):
 def _fwd_kernel(y_ref, vec_ref, kb_ref, y2_ref, part_ref):
     """One (clip, column-tile) cell.
 
-    y_ref:   (T, TW) bf16 merged graph-conv output (+bias).
+    y_ref:   (T, TW) chain-dtype merged graph-conv output (+bias).
     vec_ref: (4, TW) f32 rows [s1col, sh1col, cbcol, 0] — the TRAIN BN1
              expressed as an affine with live stats folded by the caller.
-    kb_ref:  (3, 128, 128) bf16 block-diagonal taps (tap s -> row t+s-1).
-    y2_ref:  (T, TW) bf16 conv output (pre-BN2), bf16-rounded.
+    kb_ref:  (3, 128, 128) chain-dtype block-diagonal taps (tap s -> row
+             t+s-1).
+    y2_ref:  (T, TW) chain-dtype conv output (pre-BN2), dtype-rounded.
     part_ref:(1, 2, TW) f32 — per-column [sum(y2), sum(y2^2)] over this
              cell's T rows, computed from the ROUNDED y2 (BN2 must see the
              same values it will normalize).
     """
     y = y_ref[...]
+    dt = y_ref.dtype
     T, TW = y.shape
     s1 = vec_ref[0:1, :]
     sh1 = vec_ref[1:2, :]
@@ -118,7 +127,7 @@ def _fwd_kernel(y_ref, vec_ref, kb_ref, y2_ref, part_ref):
     # tap matmuls exactly as in the eval epilogue kernel
     t1_full = jnp.maximum(
         y.astype(jnp.float32) * s1 + sh1, 0.0
-    ).astype(jnp.bfloat16)
+    ).astype(dt)
 
     groups = []
     for g in range(TW // LANE):
@@ -131,14 +140,14 @@ def _fwd_kernel(y_ref, vec_ref, kb_ref, y2_ref, part_ref):
             rows == T - 1, zero, pltpu.roll(tgf, T - 1, axis=0)
         )
         groups.append(
-            jnp.dot(prev.astype(jnp.bfloat16), kb_ref[0],
+            jnp.dot(prev.astype(dt), kb_ref[0],
                     preferred_element_type=jnp.float32)
             + jnp.dot(tg, kb_ref[1], preferred_element_type=jnp.float32)
-            + jnp.dot(nxt.astype(jnp.bfloat16), kb_ref[2],
+            + jnp.dot(nxt.astype(dt), kb_ref[2],
                       preferred_element_type=jnp.float32)
         )
     y2f = groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=1)
-    y2 = (y2f + cb).astype(jnp.bfloat16)
+    y2 = (y2f + cb).astype(dt)
     y2_ref[...] = y2
     y2r = y2.astype(jnp.float32)
     part_ref[0, 0:1, :] = jnp.sum(y2r, axis=0, keepdims=True)
@@ -146,13 +155,13 @@ def _fwd_kernel(y_ref, vec_ref, kb_ref, y2_ref, part_ref):
 
 
 def _tconv_stats_fwd(y, vecs, KB, *, T, interpret=False):
-    """y: (N, Wp) bf16; vecs: (4, Wp) f32; KB: (3,128,128) bf16.
+    """y: (N, Wp) chain dtype; vecs: (4, Wp) f32; KB: (3,128,128) chain dt.
 
-    Returns (y2 (N, Wp) bf16, parts (B, 2, Wp) f32) with N = B*T.
+    Returns (y2 (N, Wp) chain dtype, parts (B, 2, Wp) f32) with N = B*T.
     """
     N, Wp = y.shape
     B = N // T
-    TW = _pick_tile(Wp)
+    TW = _pick_tile(Wp, y.dtype.itemsize)
     tile = pl.BlockSpec((T, TW), lambda b, j: (b, j), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _fwd_kernel,
@@ -169,12 +178,12 @@ def _tconv_stats_fwd(y, vecs, KB, *, T, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, Wp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((N, Wp), y.dtype),
             jax.ShapeDtypeStruct((B, 2, Wp), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * N * Wp * LANE,
-            bytes_accessed=2 * N * Wp * 2,
+            bytes_accessed=2 * N * Wp * y.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -185,6 +194,7 @@ def _tconv_stats_fwd_ref(y, vecs, KB, *, T):
     """Pure-jnp mirror of the forward kernel (CPU branch + golden)."""
     N, Wp = y.shape
     B = N // T
+    dt = y.dtype
     y3 = y.reshape(B, T, Wp)
     s1, sh1, cb = vecs[0], vecs[1], vecs[2]
     t1f = jnp.maximum(y3.astype(jnp.float32) * s1 + sh1, 0.0)
@@ -196,13 +206,13 @@ def _tconv_stats_fwd_ref(y, vecs, KB, *, T):
     def tconv(h, tap):
         return jnp.einsum(
             "btgk,ko->btgo",
-            h.astype(jnp.bfloat16).reshape(B, T, G, LANE),
+            h.astype(dt).reshape(B, T, G, LANE),
             tap,
             preferred_element_type=jnp.float32,
         ).reshape(B, T, Wp)
 
     y2f = tconv(prev, KB[0]) + tconv(t1f, KB[1]) + tconv(nxt, KB[2])
-    y2 = (y2f + cb).astype(jnp.bfloat16)
+    y2 = (y2f + cb).astype(dt)
     y2r = y2.astype(jnp.float32)
     parts = jnp.stack(
         [jnp.sum(y2r, axis=1), jnp.sum(y2r * y2r, axis=1)], axis=1
@@ -217,17 +227,20 @@ def _tconv_stats_fwd_ref(y, vecs, KB, *, T):
 def _bwd_kernel(dy2_ref, y_ref, vec_ref, kbt_ref, dpre_ref, part_ref, dkb_ref):
     """Transpose of the forward cell.
 
-    dy2_ref: (T, TW) bf16 cotangent of the conv output (post-BN2 backward).
-    y_ref:   (T, TW) bf16 saved matmul output (t1 is recomputed, not stored).
+    dy2_ref: (T, TW) chain-dtype cotangent of the conv output (post-BN2
+             backward).
+    y_ref:   (T, TW) chain-dtype saved matmul output (t1 is recomputed, not
+             stored).
     vec_ref: (4, TW) f32 rows [s1col, sh1col, 0, 0].
-    kbt_ref: (3, 128, 128) bf16 TRANSPOSED taps.
-    dpre_ref:(T, TW) bf16 d(pre-ReLU BN1 output) = mask * tconv^T(dy2).
+    kbt_ref: (3, 128, 128) chain-dtype TRANSPOSED taps.
+    dpre_ref:(T, TW) chain-dtype d(pre-ReLU BN1 output) = mask*tconv^T(dy2).
     part_ref:(1, 2, TW) f32 per-column [sum(dpre), sum(dpre * y)].
     dkb_ref: (1, 1, 3, 128, 128) f32 per-cell tap-gradient partials
              dKB[s] = shift_s(t1)^T @ dy2 summed over this cell's groups.
     """
     dy2 = dy2_ref[...]
     y = y_ref[...]
+    dt = y_ref.dtype
     T, TW = y.shape
     s1 = vec_ref[0:1, :]
     sh1 = vec_ref[1:2, :]
@@ -235,7 +248,7 @@ def _bwd_kernel(dy2_ref, y_ref, vec_ref, kbt_ref, dpre_ref, part_ref, dkb_ref):
 
     # full-width vector work first (see _fwd_kernel's Mosaic layout note)
     pre_full = y.astype(jnp.float32) * s1 + sh1
-    t1_full = jnp.maximum(pre_full, 0.0).astype(jnp.bfloat16)
+    t1_full = jnp.maximum(pre_full, 0.0).astype(dt)
     mask_full = pre_full > 0.0
 
     dpre_groups = []
@@ -249,10 +262,10 @@ def _bwd_kernel(dy2_ref, y_ref, vec_ref, kbt_ref, dpre_ref, part_ref, dkb_ref):
         d_nxt = jnp.where(rows == T - 1, zero, pltpu.roll(dgf, T - 1, axis=0))
         d_prev = jnp.where(rows == 0, zero, pltpu.roll(dgf, 1, axis=0))
         dt1 = (
-            jnp.dot(d_nxt.astype(jnp.bfloat16), kbt_ref[0],
+            jnp.dot(d_nxt.astype(dt), kbt_ref[0],
                     preferred_element_type=jnp.float32)
             + jnp.dot(dg, kbt_ref[1], preferred_element_type=jnp.float32)
-            + jnp.dot(d_prev.astype(jnp.bfloat16), kbt_ref[2],
+            + jnp.dot(d_prev.astype(dt), kbt_ref[2],
                       preferred_element_type=jnp.float32)
         )
         dpre_groups.append(dt1)
@@ -265,7 +278,7 @@ def _bwd_kernel(dy2_ref, y_ref, vec_ref, kbt_ref, dpre_ref, part_ref, dkb_ref):
         contract = (((0,), (0,)), ((), ()))
         for s, th in enumerate((t_prev, tgf, t_nxt)):
             dkb[s] = dkb[s] + jax.lax.dot_general(
-                th.astype(jnp.bfloat16), dg, contract,
+                th.astype(dt), dg, contract,
                 preferred_element_type=jnp.float32,
             )
     dt1_full = (
@@ -273,7 +286,7 @@ def _bwd_kernel(dy2_ref, y_ref, vec_ref, kbt_ref, dpre_ref, part_ref, dkb_ref):
         else jnp.concatenate(dpre_groups, axis=1)
     )
     dpre_full = jnp.where(mask_full, dt1_full, 0.0)
-    dpre_ref[...] = dpre_full.astype(jnp.bfloat16)
+    dpre_ref[...] = dpre_full.astype(dt)
     part_ref[0, 0:1, :] = jnp.sum(dpre_full, axis=0, keepdims=True)
     part_ref[0, 1:2, :] = jnp.sum(
         dpre_full * y.astype(jnp.float32), axis=0, keepdims=True
@@ -283,14 +296,15 @@ def _bwd_kernel(dy2_ref, y_ref, vec_ref, kbt_ref, dpre_ref, part_ref, dkb_ref):
 
 
 def _tconv_bwd(dy2, y, vecs, KBT, *, T, interpret=False):
-    """Returns (dpre1 (N,Wp) bf16, parts (B,2,Wp) f32, dkb (3,128,128) f32).
+    """Returns (dpre1 (N,Wp) chain dtype, parts (B,2,Wp) f32, dkb
+    (3,128,128) f32).
 
     The per-cell tap partials are reduced to one (3,128,128) immediately
     (cell counts differ between the Pallas and jnp branches, and
     lax.platform_dependent requires identical avals)."""
     N, Wp = y.shape
     B = N // T
-    TW = _pick_tile(Wp)
+    TW = _pick_tile(Wp, y.dtype.itemsize)
     ncell = Wp // TW
     tile = pl.BlockSpec((T, TW), lambda b, j: (b, j), memory_space=pltpu.VMEM)
     dpre, parts, dkb = pl.pallas_call(
@@ -311,13 +325,13 @@ def _tconv_bwd(dy2, y, vecs, KBT, *, T, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, Wp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((N, Wp), y.dtype),
             jax.ShapeDtypeStruct((B, 2, Wp), jnp.float32),
             jax.ShapeDtypeStruct((B, ncell, 3, LANE, LANE), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=12 * N * Wp * LANE,
-            bytes_accessed=3 * N * Wp * 2,
+            bytes_accessed=3 * N * Wp * y.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -330,6 +344,7 @@ def _tconv_bwd_ref(dy2, y, vecs, KBT, *, T):
     N, Wp = y.shape
     B = N // T
     G = Wp // LANE
+    dt = y.dtype
     s1, sh1 = vecs[0], vecs[1]
     y3 = y.reshape(B, T, Wp)
     t1f = jnp.maximum(y3.astype(jnp.float32) * s1 + sh1, 0.0)
@@ -342,7 +357,7 @@ def _tconv_bwd_ref(dy2, y, vecs, KBT, *, T):
     def tconv(h, tap):
         return jnp.einsum(
             "btgk,ko->btgo",
-            h.astype(jnp.bfloat16).reshape(B, T, G, LANE),
+            h.astype(dt).reshape(B, T, G, LANE),
             tap,
             preferred_element_type=jnp.float32,
         ).reshape(B, T, Wp)
@@ -363,14 +378,14 @@ def _tconv_bwd_ref(dy2, y, vecs, KBT, *, T):
     def dkb_of(th):
         return jnp.einsum(
             "btgk,btgo->bgko",
-            th.astype(jnp.bfloat16).reshape(B, T, G, LANE),
-            d3.astype(jnp.bfloat16).reshape(B, T, G, LANE),
+            th.astype(dt).reshape(B, T, G, LANE),
+            d3.astype(dt).reshape(B, T, G, LANE),
             preferred_element_type=jnp.float32,
         )  # (B, G, 128, 128)
 
     dkb = jnp.stack([dkb_of(t_prev), dkb_of(t1f), dkb_of(t_nxt)], axis=2)
     return (
-        dpre.reshape(N, Wp).astype(jnp.bfloat16),
+        dpre.reshape(N, Wp).astype(dt),
         parts,
         jnp.sum(dkb, axis=(0, 1)),
     )
@@ -387,18 +402,21 @@ def _stats_from_cols(colsum, colsumsq, count, C):
 
 
 @functools.lru_cache(maxsize=None)
-def make_train_layer(residual, V, C, T, interpret=False, custom_vjp=True):
+def make_train_layer(residual, V, C, T, interpret=False, custom_vjp=True,
+                     dtype=jnp.bfloat16):
     """Build the custom-VJP fused train layer for a static block config.
 
     Returned fn(x, M, bias_col, g1, b1, taps, cb, g2, b2) ->
-        (out (B,T,Wp) bf16, mean1, var1, mean2, var2)   stats (C,) f32
+        (out (B,T,Wp) chain dtype, mean1, var1, mean2, var2)  stats (C,) f32
 
-    x: (B, T, W) bf16 — W may be the UNPADDED merged width when there is no
-    residual (block 0), exactly like the fused eval chain's entry.
+    x: (B, T, W) in the chain ``dtype`` (bf16 or f32) — W may be the
+    UNPADDED merged width when there is no residual (block 0), exactly like
+    the fused eval chain's entry.
     Stats outputs are for the running-average update only and are treated as
     non-differentiable (their cotangents are ignored, matching the module
     path where running stats are mutable variables outside the grad).
     """
+    dt = jnp.dtype(dtype)
 
     def fwd_impl(x, M, bias_col, g1, b1, taps, cb, g2, b2):
         B, Tx, W = x.shape
@@ -414,7 +432,7 @@ def make_train_layer(residual, V, C, T, interpret=False, custom_vjp=True):
                 "bti,io->bto", x, M[:W], preferred_element_type=jnp.float32
             )
             + bias_col
-        ).astype(jnp.bfloat16)
+        ).astype(dt)
         yf = y.astype(jnp.float32)
         colsum1 = jnp.sum(yf, axis=(0, 1))
         colsumsq1 = jnp.sum(yf * yf, axis=(0, 1))
@@ -428,7 +446,7 @@ def make_train_layer(residual, V, C, T, interpret=False, custom_vjp=True):
         vecs = jnp.stack(
             [s1col, sh1col, cbcol, jnp.zeros_like(s1col)], axis=0
         )
-        KB = _block_diag_taps(taps.astype(jnp.bfloat16))
+        KB = _block_diag_taps(taps.astype(dt))
         if interpret:
             y2, parts = _tconv_stats_fwd(y, vecs, KB, T=T, interpret=True)
         else:
@@ -448,7 +466,7 @@ def make_train_layer(residual, V, C, T, interpret=False, custom_vjp=True):
         z = y2f * s2col + sh2col
         if residual:
             z = z + x.astype(jnp.float32)
-        out = jnp.maximum(z, 0.0).astype(jnp.bfloat16)
+        out = jnp.maximum(z, 0.0).astype(dt)
         saved = (
             x, y, y2, mean1, var1, mean2, var2, M, taps, g1, b1, g2, b2,
         )
@@ -494,14 +512,14 @@ def make_train_layer(residual, V, C, T, interpret=False, custom_vjp=True):
         # Conv2d-before-BatchNorm).  Return the analytic zero instead of a
         # full-array reduce that can only ever produce rounding noise.
         dcb = jnp.zeros_like(g2)  # cb is (C,) f32 like g2
-        dy2_b = dy2.astype(jnp.bfloat16).reshape(N, Wp)
+        dy2_b = dy2.astype(dt).reshape(N, Wp)
 
         vecs = jnp.stack(
             [s1col, sh1col, jnp.zeros_like(s1col), jnp.zeros_like(s1col)],
             axis=0,
         )
         KBT = jnp.transpose(
-            _block_diag_taps(taps.astype(jnp.bfloat16)), (0, 2, 1)
+            _block_diag_taps(taps.astype(dt)), (0, 2, 1)
         )
         if interpret:
             dpre, parts, dkb = _tconv_bwd(
@@ -531,7 +549,7 @@ def make_train_layer(residual, V, C, T, interpret=False, custom_vjp=True):
         dpre_f = dpre.astype(jnp.float32).reshape(B, Tx, Wp)
         dyf = s1col * (dpre_f - mdp_col - n1 * mdpn1_col)
         dbias_col = jnp.sum(dyf, axis=(0, 1))
-        dy_b = dyf.astype(jnp.bfloat16)
+        dy_b = dyf.astype(dt)
 
         dx = jnp.einsum(
             "bto,io->bti", dy_b, M[:W], preferred_element_type=jnp.float32

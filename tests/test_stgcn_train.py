@@ -32,8 +32,12 @@ V, C = 5, 64  # tiny joint count; W0=320 pads to Wp=384 (exercises padding)
 W0, Wp = V * C, 384
 T, B = 16, 2
 
+# both chain dtypes since round 4 (f32: every rounding cast is a no-op, so
+# kernel-vs-ref tolerances could be ~1e-6; the bf16 bounds stay valid)
+DTYPES = [jnp.bfloat16, jnp.float32]
 
-def _operands(rng):
+
+def _operands(rng, dt=jnp.bfloat16):
     y = np.zeros((B * T, Wp), np.float32)
     y[:, :W0] = rng.randn(B * T, W0) * 0.7
     vecs = np.zeros((4, Wp), np.float32)
@@ -41,54 +45,63 @@ def _operands(rng):
     vecs[1, :W0] = rng.randn(W0) * 0.3          # sh1col
     vecs[2, :W0] = rng.randn(W0) * 0.1          # cbcol
     taps = rng.randn(3, C, C).astype(np.float32) * 0.15
-    KB = _block_diag_taps(jnp.asarray(taps, jnp.bfloat16))
+    KB = _block_diag_taps(jnp.asarray(taps, dt))
     return (
-        jnp.asarray(y, jnp.bfloat16),
+        jnp.asarray(y, dt),
         jnp.asarray(vecs),
         KB,
         taps,
     )
 
 
-def test_fwd_kernel_matches_ref(rng):
-    y, vecs, KB, _ = _operands(rng)
+@pytest.mark.parametrize("dt", DTYPES, ids=["bf16", "f32"])
+def test_fwd_kernel_matches_ref(rng, dt):
+    y, vecs, KB, _ = _operands(rng, dt)
+    tol = dict(atol=2e-2, rtol=2e-2) if dt == jnp.bfloat16 else dict(
+        atol=1e-5, rtol=1e-5
+    )
     y2_k, parts_k = _tconv_stats_fwd(y, vecs, KB, T=T, interpret=True)
     y2_r, parts_r = _tconv_stats_fwd_ref(y, vecs, KB, T=T)
     np.testing.assert_allclose(
-        np.asarray(y2_k, np.float32), np.asarray(y2_r, np.float32),
-        atol=2e-2, rtol=2e-2,
+        np.asarray(y2_k, np.float32), np.asarray(y2_r, np.float32), **tol
     )
     np.testing.assert_allclose(
-        np.asarray(parts_k), np.asarray(parts_r), atol=2e-1, rtol=2e-2
+        np.asarray(parts_k), np.asarray(parts_r),
+        **(dict(atol=2e-1, rtol=2e-2) if dt == jnp.bfloat16
+           else dict(atol=1e-3, rtol=1e-5))
     )
     # padded columns stay exactly zero
     assert np.abs(np.asarray(y2_k, np.float32)[:, W0:]).max() == 0.0
     assert np.abs(np.asarray(parts_k)[:, :, W0:]).max() == 0.0
 
 
-def test_bwd_kernel_matches_ref(rng):
-    y, vecs, KB, _ = _operands(rng)
+@pytest.mark.parametrize("dt", DTYPES, ids=["bf16", "f32"])
+def test_bwd_kernel_matches_ref(rng, dt):
+    y, vecs, KB, _ = _operands(rng, dt)
     dy2 = jnp.asarray(
         np.pad(rng.randn(B * T, W0) * 0.5, ((0, 0), (0, Wp - W0))),
-        jnp.bfloat16,
+        dt,
     )
     KBT = jnp.transpose(KB, (0, 2, 1))
+    bf = dt == jnp.bfloat16
     dp_k, parts_k, dkb_k = _tconv_bwd(dy2, y, vecs, KBT, T=T, interpret=True)
     dp_r, parts_r, dkb_r = _tconv_bwd_ref(dy2, y, vecs, KBT, T=T)
     np.testing.assert_allclose(
         np.asarray(dp_k, np.float32), np.asarray(dp_r, np.float32),
-        atol=2e-2, rtol=2e-2,
+        **(dict(atol=2e-2, rtol=2e-2) if bf else dict(atol=1e-5, rtol=1e-5))
     )
     np.testing.assert_allclose(
-        np.asarray(parts_k), np.asarray(parts_r), atol=2e-1, rtol=2e-2
+        np.asarray(parts_k), np.asarray(parts_r),
+        **(dict(atol=2e-1, rtol=2e-2) if bf else dict(atol=1e-3, rtol=1e-5))
     )
     np.testing.assert_allclose(
-        np.asarray(dkb_k), np.asarray(dkb_r), atol=5e-1, rtol=3e-2
+        np.asarray(dkb_k), np.asarray(dkb_r),
+        **(dict(atol=5e-1, rtol=3e-2) if bf else dict(atol=1e-2, rtol=1e-4))
     )
     assert np.abs(np.asarray(dp_k, np.float32)[:, W0:]).max() == 0.0
 
 
-def _layer_args(rng, residual):
+def _layer_args(rng, residual, dt=jnp.bfloat16):
     x = np.zeros((B, T, Wp), np.float32)
     x[..., :W0] = rng.randn(B, T, W0) * 0.6
     M = np.zeros((Wp, Wp), np.float32)
@@ -102,18 +115,21 @@ def _layer_args(rng, residual):
     g2 = 0.7 + rng.rand(C).astype(np.float32)
     b2 = rng.randn(C).astype(np.float32) * 0.2
     return (
-        jnp.asarray(x, jnp.bfloat16), jnp.asarray(M, jnp.bfloat16),
+        jnp.asarray(x, dt), jnp.asarray(M, dt),
         jnp.asarray(bias_col), jnp.asarray(g1), jnp.asarray(b1),
         jnp.asarray(taps), jnp.asarray(cb), jnp.asarray(g2), jnp.asarray(b2),
     )
 
 
+@pytest.mark.parametrize("dt", DTYPES, ids=["bf16", "f32"])
 @pytest.mark.parametrize("residual", [False, True])
-def test_custom_vjp_matches_autodiff(rng, residual):
+def test_custom_vjp_matches_autodiff(rng, residual, dt):
     """Hand-written backward == jax autodiff of the identical forward."""
-    args = _layer_args(rng, residual)
-    layer = make_train_layer(residual, V, C, T)
-    plain = make_train_layer(residual, V, C, T, custom_vjp=False)
+    args = _layer_args(rng, residual, dt)
+    layer = make_train_layer(residual, V, C, T, dtype=dt.dtype.name)
+    plain = make_train_layer(
+        residual, V, C, T, custom_vjp=False, dtype=dt.dtype.name
+    )
 
     out_c = layer(*args)
     out_p = plain(*args)
@@ -122,7 +138,7 @@ def test_custom_vjp_matches_autodiff(rng, residual):
             np.asarray(a, np.float32), np.asarray(b, np.float32)
         )
 
-    w = jnp.asarray(rng.randn(B, T, Wp).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(B, T, Wp).astype(np.float32), dt)
 
     def loss_of(fn):
         def loss(*a):
@@ -170,9 +186,17 @@ def test_custom_vjp_matches_autodiff(rng, residual):
         )
 
 
-def test_block_fused_train_matches_module(rng):
+@pytest.mark.parametrize("dt", DTYPES, ids=["bf16", "f32"])
+def test_block_fused_train_matches_module(rng, dt):
     """Fused train path vs STGCNBlock module path: outputs, running stats,
-    and parameter gradients at bf16 tolerance (full 53-joint width)."""
+    and parameter gradients at chain-dtype tolerance (full 53-joint width).
+
+    bf16: the two paths round at different points (bf16 BN1 input on the
+    fused path vs f32 on the module path).  f32: pure reassociation — but
+    the module path's matmuls run at the blocks' f32 precision while the
+    autodiff of its einsum may reassociate differently, so tolerances stay
+    relative rather than exact.
+    """
     from pose2room_tpu.models.graph import build_spatial_graph
     from pose2room_tpu.models.layers import STGCNBlock
 
@@ -181,7 +205,7 @@ def test_block_fused_train_matches_module(rng):
     K = A.shape[0]
     block = STGCNBlock(
         out_channels=Cj, spatial_kernel_size=K, in_channels=Cj,
-        num_joints=Vj, residual=True, dtype=jnp.bfloat16,
+        num_joints=Vj, residual=True, dtype=dt,
     )
     x4 = jnp.asarray(rng.randn(Bj, Tj, Vj, Cj).astype(np.float32) * 0.5)
     variables = block.init(jax.random.PRNGKey(0), x4, A, train=True)
@@ -189,7 +213,7 @@ def test_block_fused_train_matches_module(rng):
     out_m, mut_m = block.apply(
         variables, x4, A, train=True, mutable=["batch_stats"]
     )
-    hm = x4.astype(jnp.bfloat16).reshape(Bj, Tj, Vj * Cj)
+    hm = x4.astype(dt).reshape(Bj, Tj, Vj * Cj)
     out_f, mut_f = block.apply(
         variables, hm, A, Tj,
         method=STGCNBlock.apply_fused_train, mutable=["batch_stats"],
