@@ -139,6 +139,46 @@ def test_eval_step_sharded(rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sparse_eval_generate_sharded(rng):
+    """The block-sparse eval chain (scalar-prefetched CSR tile lists +
+    joint-permuted layout, ops/stgcn_sparse.py) under GSPMD batch sharding:
+    generate outputs match the single-device run at partitioning-noise
+    level on the CPU mesh (a couple of elements shift ~4e-6 from GSPMD
+    reduction-order differences; every sparse operand is batch-independent
+    so GSPMD must replicate the tile data and shard the row dimension)."""
+    from pose2room_tpu.train.step import make_generate_fn
+
+    cfg = P2RNetConfig(
+        num_frames=48, num_seeds=32, num_proposals=8, num_gaussian=8,
+        compute_dtype="bfloat16", sparse_eval=True,
+    )
+    model = P2RNet(config=cfg)
+    key = jax.random.PRNGKey(0)
+    sample = np.zeros((8, cfg.num_frames, 53, 3), dtype=np.float32)
+    state, tx, _ = create_train_state(model, key, sample, {"lr": 1e-3})
+    gen = make_generate_fn(model)
+    x = rng.randn(8, cfg.num_frames, 53, 3).astype(np.float32) * 0.3
+
+    dev0 = jax.devices()[0]
+    out_1 = gen(
+        jax.tree.map(lambda v: jax.device_put(v, dev0), state),
+        jax.device_put(x, dev0),
+    )
+
+    mesh = make_mesh()
+    state_8 = replicate(state, mesh)
+    x_8 = jax.device_put(x, batch_sharding(mesh))
+    out_8 = gen(state_8, x_8)
+    assert len(x_8.sharding.device_set) == 8
+
+    for k in ("center", "size", "objectness_scores"):
+        np.testing.assert_allclose(
+            np.asarray(out_1[k], np.float32), np.asarray(out_8[k], np.float32),
+            atol=1e-4, rtol=1e-4, err_msg=k,
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_uneven_batch_replicates(rng):
     """Non-divisible batches fall back to replication, still correct."""
     mesh = make_mesh()
