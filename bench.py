@@ -436,6 +436,13 @@ def main():
         help="inference sweep only (iteration; the official bench also "
         "publishes the train-step section)",
     )
+    parser.add_argument(
+        "--train-dtypes", default="bfloat16",
+        help="comma list of train-leg dtypes; default bf16 only — every "
+        "extra leg costs a full remote compile (the f32 numbers are "
+        "recorded in BENCH_NOTES.md from scripts/bench_train_step.py)",
+    )
+    parser.add_argument("--train-batches", default="8,32")
     args = parser.parse_args()
 
     try:
@@ -563,12 +570,14 @@ def main():
     # both compute dtypes, gated on the fused-vs-module gradient agreement
     train = None
     if jax.default_backend() != "cpu" and not args.skip_train:
+        train_dtypes = tuple(args.train_dtypes.split(","))
         if not args.skip_selfcheck:
-            gates = (
-                run_train_kernel_golden("bfloat16")
-                and run_train_kernel_golden("float32")
-                and run_train_selfcheck("float32")
-            )
+            # gate: Mosaic-lowering goldens for every dtype being benched,
+            # plus the sharp semantic check (f32 fused-vs-module grads —
+            # always f32; see run_train_selfcheck for why bf16 is excluded)
+            gates = all(
+                run_train_kernel_golden(d) for d in train_dtypes
+            ) and run_train_selfcheck("float32")
             if not gates:
                 print(
                     "bench.py: on-chip TRAIN selftest FAILED — refusing "
@@ -576,7 +585,10 @@ def main():
                     file=sys.stderr,
                 )
                 sys.exit(1)
-        train = run_train_bench()
+        train = run_train_bench(
+            dtypes=train_dtypes,
+            batches=tuple(int(b) for b in args.train_batches.split(",")),
+        )
 
     vs_baseline = best / TORCH_CPU_CLIPS_PER_SEC if TORCH_CPU_CLIPS_PER_SEC else None
     record = {
