@@ -96,8 +96,17 @@ def gather_m_tiles(M_perm, col_off, vlist):
 
 
 def _pick_rows(n_rows, itemsize):
-    """Largest row-chunk that keeps the resident x block under ~7 MB."""
-    budget = 7 * 1024 * 1024
+    """Largest row-chunk that keeps the resident x block under ~3.5 MB.
+
+    Pallas DOUBLE-BUFFERS every auto-blocked operand across grid steps (the
+    x block's index map changes over the outer row dim), so the block
+    appears twice in the scoped-VMEM request — the measured 16 MB cap
+    (ops/stgcn_fused.py) allows ~2x3.5 MB for x plus out/acc/mbuf with
+    margin.  Total x HBM traffic is R-independent (each chunk is fetched
+    once), and (512, 128) x (128, 128) tap matmuls still amortize the
+    32 KB M-tile DMAs, so a smaller R costs only a little loop overhead.
+    """
+    budget = 3_500_000
     r = min(1024, budget // (3456 * itemsize))
     r = max(LANE, (r // LANE) * LANE)
     return min(r, max(LANE, ((n_rows + LANE - 1) // LANE) * LANE))
