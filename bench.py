@@ -363,16 +363,19 @@ def run_train_bench(dtypes=("bfloat16", "float32"), batches=(8, 32),
                 model, key, np.zeros((B, 768, 53, 3), np.float32), {"lr": 1e-3}
             )
             state = jax.device_put(state, dev)
-            step = make_train_step(model, tx)
-            state, losses = step(state, batch, key)  # compile + warmup
-            jax.block_until_ready(losses["total"])
+            # AOT-compile ONCE and reuse the executable for both the timing
+            # loop and its own cost analysis (a second .lower() after a
+            # traced call would pay the remote compile twice)
+            step = make_train_step(model, tx).lower(state, batch, key).compile()
             try:
-                analysed = step.lower(state, batch, key).compile().cost_analysis()
+                analysed = step.cost_analysis()
                 if isinstance(analysed, (list, tuple)):
                     analysed = analysed[0]
                 flops = float(analysed.get("flops", 0.0)) or None
             except Exception:
                 flops = None
+            state, losses = step(state, batch, key)  # warmup
+            jax.block_until_ready(losses["total"])
 
             best = None
             for _ in range(3):
