@@ -37,28 +37,63 @@ def _rot_y(theta):
     )
 
 
-def load_sample(path, dtype=np.float64):
+def load_sample(path, dtype=np.float64, instance_cache=None):
     """Read one HDF5 sample into (joints, votes, instances).
 
     The loader hot path passes ``dtype=float32`` (the on-disk dtype — no
     promotion copy); instance boxes stay float64 (tiny, feed heading math).
+
+    ``instance_cache`` (a dict the caller owns) memoizes the per-file
+    object_nodes metadata: the ~4 objects x 4 tiny datasets cost ~2 ms of
+    h5py traversal per read — 15% of the measured 13 ms/sample
+    (BENCH_NOTES.md loader ceiling) — and never change for a given file.
+    Augmentation mutates the node dicts in place, so cache hits return
+    fresh array copies.  Keyed by (path, mtime) so a rewritten file is
+    re-read.
     """
     import h5py
+
+    key = None
+    instances = None
+    if instance_cache is not None:
+        key = (path, os.stat(path).st_mtime_ns)
+        cached = instance_cache.get(key)
+        if cached is not None:
+            instances = [
+                {
+                    "class_id": n["class_id"],
+                    "centroid": n["centroid"].copy(),
+                    "R_mat": n["R_mat"].copy(),
+                    "size": n["size"].copy(),
+                }
+                for n in cached
+            ]
 
     with h5py.File(path, "r") as f:
         joints = f["skeleton_joints"][:]
         votes = f["skeleton_joint_votes"][:]
-        instances = []
-        for key in f["object_nodes"].keys():
-            node = f["object_nodes"][key]
-            instances.append(
-                {
-                    "class_id": int(np.asarray(node["class_id"]).reshape(-1)[0]),
-                    "centroid": node["centroid"][:].astype(np.float64),
-                    "R_mat": node["R_mat"][:].astype(np.float64),
-                    "size": node["size"][:].astype(np.float64),
-                }
-            )
+        if instances is None:
+            instances = []
+            for name in f["object_nodes"].keys():
+                node = f["object_nodes"][name]
+                instances.append(
+                    {
+                        "class_id": int(np.asarray(node["class_id"]).reshape(-1)[0]),
+                        "centroid": node["centroid"][:].astype(np.float64),
+                        "R_mat": node["R_mat"][:].astype(np.float64),
+                        "size": node["size"][:].astype(np.float64),
+                    }
+                )
+            if instance_cache is not None:
+                instance_cache[key] = [
+                    {
+                        "class_id": n["class_id"],
+                        "centroid": n["centroid"].copy(),
+                        "R_mat": n["R_mat"].copy(),
+                        "size": n["size"].copy(),
+                    }
+                    for n in instances
+                ]
     return joints.astype(dtype, copy=False), votes.astype(dtype, copy=False), instances
 
 
@@ -131,13 +166,19 @@ class P2RNetDataset:
         self.max_gt_boxes = max_gt_boxes
         self.augment = augment
         self.use_height = use_height
+        # per-file object_nodes metadata memo (see load_sample); plain-dict
+        # get/set are atomic under the GIL, so the thread-pool loader shares
+        # it safely (a racing miss just reads the file twice)
+        self._instance_cache = {}
 
     def __len__(self):
         return len(self.paths)
 
     def __getitem__(self, idx, rng=None):
         path = self.paths[idx]
-        joints, votes, instances = load_sample(path, dtype=np.float32)
+        joints, votes, instances = load_sample(
+            path, dtype=np.float32, instance_cache=self._instance_cache
+        )
 
         # Subsample frames FIRST: the augmentation transform is identical for
         # every frame (and leaves y untouched), so linspace-subsampling
