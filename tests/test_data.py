@@ -123,3 +123,40 @@ def test_loader_host_sharding(dataset_root):
     assert len(per_host[0]) == len(per_host[1])  # equal shard lengths
     # n=6, stride=4 -> padded to 8: exactly 2 wrap-around duplicates
     assert len(seen) == 8
+
+
+def test_instance_cache_hit_and_invalidation(tmp_path):
+    """The per-file instance-metadata cache returns equal-but-independent
+    copies (augmentation mutates nodes in place) and invalidates when the
+    file is rewritten (mtime key)."""
+    import os
+    import time
+
+    from pose2room_tpu.data.dataset import load_sample
+    from pose2room_tpu.data.synth import make_scene, write_sample
+
+    rng = np.random.RandomState(0)
+    path = str(tmp_path / "s.hdf5")
+    joints, instances = make_scene(rng, n_objects=3, n_frames=50)
+    write_sample(path, joints, instances)
+
+    cache = {}
+    _, _, inst1 = load_sample(path, dtype=np.float32, instance_cache=cache)
+    assert len(cache) == 1
+    _, _, inst2 = load_sample(path, dtype=np.float32, instance_cache=cache)
+    assert len(cache) == 1  # hit, not a second entry
+    for a, b in zip(inst1, inst2):
+        np.testing.assert_array_equal(a["centroid"], b["centroid"])
+        assert a["centroid"] is not b["centroid"]  # independent copies
+    # in-place mutation (what augment_sample does) must not leak back
+    inst2[0]["centroid"] += 100.0
+    _, _, inst3 = load_sample(path, dtype=np.float32, instance_cache=cache)
+    np.testing.assert_array_equal(inst3[0]["centroid"], inst1[0]["centroid"])
+
+    # rewrite the file -> new mtime key -> fresh read
+    time.sleep(0.01)
+    joints2, instances2 = make_scene(rng, n_objects=2, n_frames=50)
+    write_sample(path, joints2, instances2)
+    _, _, inst4 = load_sample(path, dtype=np.float32, instance_cache=cache)
+    assert len(inst4) == 2
+    assert len(cache) == 2
