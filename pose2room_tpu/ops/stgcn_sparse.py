@@ -203,7 +203,9 @@ def sparse_graph_matmul_bn_relu(x, m_tiles, vecs, col_off, vlist,
         ),
         out_shape=jax.ShapeDtypeStruct((n_rows, Wp), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_rows * int(vlist.shape[0]) * LANE * LANE // G,
+            # every packed tile contributes one (n_rows, 128) x (128, 128)
+            # matmul regardless of which output column it belongs to
+            flops=2 * n_rows * int(vlist.shape[0]) * LANE * LANE,
             bytes_accessed=(
                 2 * n_rows * Wp * x.dtype.itemsize
                 + int(vlist.shape[0]) * LANE * LANE * x.dtype.itemsize
