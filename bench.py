@@ -451,7 +451,41 @@ def main():
         help="SIGALRM bound (s) on the whole train section — a hung remote "
         "compile must not push the official run past the driver timeout",
     )
+    parser.add_argument(
+        "--device-probe-timeout", type=int, default=600,
+        help="bound (s) on a subprocess device probe run before in-process "
+        "backend init; 0 disables. A tunnel outage blocks jax.devices() in "
+        "uninterruptible C code — probing in a killable child turns a "
+        "silent driver timeout into a legible failure",
+    )
     args = parser.parse_args()
+
+    if args.device_probe_timeout:
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=args.device_probe_timeout,
+                check=True,
+                capture_output=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench.py: device backend did not initialize within "
+                f"{args.device_probe_timeout}s — accelerator tunnel is "
+                "unreachable (environment outage, not a code failure); "
+                "refusing to hang. Re-run when the chip is back.",
+                file=sys.stderr,
+            )
+            sys.exit(5)
+        except subprocess.CalledProcessError as e:
+            print(
+                "bench.py: device probe subprocess failed:\n"
+                + e.stderr.decode(errors="replace")[-2000:],
+                file=sys.stderr,
+            )
+            sys.exit(5)
 
     try:
         platforms = jax.config.jax_platforms
