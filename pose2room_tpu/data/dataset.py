@@ -48,17 +48,19 @@ def load_sample(path, dtype=np.float64, instance_cache=None):
     h5py traversal per read — 15% of the measured 13 ms/sample
     (BENCH_NOTES.md loader ceiling) — and never change for a given file.
     Augmentation mutates the node dicts in place, so cache hits return
-    fresh array copies.  Keyed by (path, mtime) so a rewritten file is
-    re-read.
+    fresh array copies.  Keyed by path with the mtime stored in the value,
+    so a rewritten file is re-read AND its stale entry is replaced (a
+    (path, mtime) key would accumulate one dead entry per rewrite in a
+    long-lived process).
     """
     import h5py
 
-    key = None
+    mtime = None
     instances = None
     if instance_cache is not None:
-        key = (path, os.stat(path).st_mtime_ns)
-        cached = instance_cache.get(key)
-        if cached is not None:
+        mtime = os.stat(path).st_mtime_ns
+        cached = instance_cache.get(path)
+        if cached is not None and cached[0] == mtime:
             instances = [
                 {
                     "class_id": n["class_id"],
@@ -66,7 +68,7 @@ def load_sample(path, dtype=np.float64, instance_cache=None):
                     "R_mat": n["R_mat"].copy(),
                     "size": n["size"].copy(),
                 }
-                for n in cached
+                for n in cached[1]
             ]
 
     with h5py.File(path, "r") as f:
@@ -85,7 +87,7 @@ def load_sample(path, dtype=np.float64, instance_cache=None):
                     }
                 )
             if instance_cache is not None:
-                instance_cache[key] = [
+                instance_cache[path] = (mtime, [
                     {
                         "class_id": n["class_id"],
                         "centroid": n["centroid"].copy(),
@@ -93,7 +95,7 @@ def load_sample(path, dtype=np.float64, instance_cache=None):
                         "size": n["size"].copy(),
                     }
                     for n in instances
-                ]
+                ])
     return joints.astype(dtype, copy=False), votes.astype(dtype, copy=False), instances
 
 

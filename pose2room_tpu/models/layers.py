@@ -308,14 +308,18 @@ class STGCNBlock(nn.Module):
         for i, r in enumerate(rows):
             vecs = vecs.at[i, :W0].set(r.astype(jnp.float32))
 
-        # temporal taps as (3, 128, 128) block-diagonal matrices: a 128-wide
-        # column tile holds 128/C joints' channels, each mixed by the same
-        # (C, C) tap; tap s applies to row t+s-1 ('SAME' padding).
+        return M, vecs, self._block_diag_taps().astype(cd)
+
+    def _block_diag_taps(self):
+        """Temporal taps as (3, 128, 128) block-diagonal matrices: a 128-wide
+        column tile holds 128/C joints' channels, each mixed by the same
+        (C, C) tap; tap s applies to row t+s-1 ('SAME' padding).  Shared by
+        the dense and block-sparse eval folds (the taps are invariant to the
+        joint permutation — they never mix joints)."""
         taps = self.tcn_conv.kernel[:, 0]  # (3, C, C)
-        reps = 128 // C
+        reps = 128 // self.out_channels
         eye = jnp.eye(reps, dtype=taps.dtype)
-        KB = jnp.einsum("sio,pq->spiqo", taps, eye).reshape(3, 128, 128)
-        return M, vecs, KB.astype(cd)
+        return jnp.einsum("sio,pq->spiqo", taps, eye).reshape(3, 128, 128)
 
     def fold_eval_arrays_sparse(self, A, order, vlist, wlist):
         """Operands for the block-sparse eval matmul (ops/stgcn_sparse.py):
@@ -376,11 +380,7 @@ class STGCNBlock(nn.Module):
         for i, r in enumerate(rows):
             vecs = vecs.at[i].set(r.astype(jnp.float32))
 
-        taps = self.tcn_conv.kernel[:, 0]  # (3, C, C)
-        reps = 128 // C
-        eye = jnp.eye(reps, dtype=taps.dtype)
-        KB = jnp.einsum("sio,pq->spiqo", taps, eye).reshape(3, 128, 128)
-        return tiles.astype(cd), vecs, KB.astype(cd)
+        return tiles.astype(cd), vecs, self._block_diag_taps().astype(cd)
 
     def fold_train_arrays(self, A):
         """Operands for the fused TRAIN layer (ops/stgcn_train.py): padded

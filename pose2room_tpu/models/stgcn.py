@@ -265,15 +265,11 @@ class STGCN(nn.Module):
                 return hm
 
             def run_ref(hm, col_off, vlist, *flat):
-                G = Wp // 128
+                from pose2room_tpu.ops.stgcn_sparse import densify_tiles
+
                 for i, res in enumerate(residuals):
                     tiles, vecs, KB = flat[3 * i : 3 * i + 3]
-                    dense = (
-                        jnp.zeros((G, 128, G, 128), tiles.dtype)
-                        .at[vl_np, :, wl_np, :]
-                        .set(tiles)
-                        .reshape(Wp, Wp)
-                    )
+                    dense = densify_tiles(tiles, vl_np, wl_np, Wp // 128)
                     hm = stgcn_layer_merged_ref(
                         hm, dense, vecs, KB, residual=res
                     )

@@ -95,7 +95,7 @@ def gather_m_tiles(M_perm, col_off, vlist):
     return t[vlist, :, wlist, :]
 
 
-def _pick_rows(n_rows, itemsize):
+def _pick_rows(n_rows, row_width, itemsize):
     """Largest row-chunk that keeps the resident x block under ~3.5 MB.
 
     Pallas DOUBLE-BUFFERS every auto-blocked operand across grid steps (the
@@ -107,7 +107,7 @@ def _pick_rows(n_rows, itemsize):
     32 KB M-tile DMAs, so a smaller R costs only a little loop overhead.
     """
     budget = 3_500_000
-    r = min(1024, budget // (3456 * itemsize))
+    r = min(1024, budget // (row_width * itemsize))
     r = max(LANE, (r // LANE) * LANE)
     return min(r, max(LANE, ((n_rows + LANE - 1) // LANE) * LANE))
 
@@ -172,7 +172,7 @@ def sparse_graph_matmul_bn_relu(x, m_tiles, vecs, col_off, vlist,
     assert Wp % LANE == 0
     G = Wp // LANE
     n_rows = B * T
-    R = _pick_rows(n_rows, x.dtype.itemsize)
+    R = _pick_rows(n_rows, Wp, x.dtype.itemsize)
     xm = x.reshape(n_rows, Wp)
     grid = (pl.cdiv(n_rows, R), G)
     out = pl.pallas_call(
@@ -217,17 +217,25 @@ def sparse_graph_matmul_bn_relu(x, m_tiles, vecs, col_off, vlist,
     return out.reshape(B, T, Wp)
 
 
+def densify_tiles(m_tiles, vlist, wlist, G):
+    """Reconstruct the dense (G*128, G*128) permuted matrix from packed
+    tiles — the single inverse of gather_m_tiles (shared by the jnp golden
+    below and the non-TPU fallback in models/stgcn.py, so a CSR-layout
+    change cannot silently diverge between them).  vlist/wlist must be
+    concrete (static) index lists."""
+    dense = jnp.zeros((G, LANE, G, LANE), m_tiles.dtype)
+    dense = dense.at[vlist, :, wlist, :].set(m_tiles)
+    return dense.reshape(G * LANE, G * LANE)
+
+
 def sparse_graph_matmul_bn_relu_ref(x, m_tiles, vecs, col_off, vlist):
     """Pure-jnp golden: densify the tiles and run the fused-chain math."""
     B, T, Wp = x.shape
     G = Wp // LANE
-    wlist = jnp.repeat(
-        jnp.arange(G, dtype=jnp.int32), np.diff(np.asarray(col_off)),
-        total_repeat_length=int(vlist.shape[0]),
+    wlist = np.repeat(
+        np.arange(G, dtype=np.int32), np.diff(np.asarray(col_off))
     )
-    dense = jnp.zeros((G, LANE, G, LANE), m_tiles.dtype)
-    dense = dense.at[vlist, :, wlist, :].set(m_tiles)
-    dense = dense.reshape(Wp, Wp)
+    dense = densify_tiles(m_tiles, np.asarray(vlist), wlist, G)
     y = jnp.einsum(
         "bti,io->bto", x, dense, preferred_element_type=jnp.float32
     )

@@ -85,6 +85,9 @@ def main():
             yaml.safe_dump(train_cfg, f)
         run_main(cfg_path, "train", env)
     ckpt_dir = newest_run_dir(os.path.join(args.root, "out", "train"))
+    if ckpt_dir is None:
+        sys.exit(f"no training run under {args.root}/out/train — "
+                 "drop --skip-train or point --root at a trained root")
     ckpt = os.path.join(ckpt_dir, "model_best")
     if not os.path.isdir(ckpt):
         ckpt = os.path.join(ckpt_dir, "model_final")

@@ -153,10 +153,12 @@ def test_instance_cache_hit_and_invalidation(tmp_path):
     _, _, inst3 = load_sample(path, dtype=np.float32, instance_cache=cache)
     np.testing.assert_array_equal(inst3[0]["centroid"], inst1[0]["centroid"])
 
-    # rewrite the file -> new mtime key -> fresh read
+    # rewrite the file -> mtime mismatch -> fresh read that REPLACES the
+    # stale entry (path-keyed; a (path, mtime) key would grow unboundedly
+    # across rewrites in a long-lived process)
     time.sleep(0.01)
     joints2, instances2 = make_scene(rng, n_objects=2, n_frames=50)
     write_sample(path, joints2, instances2)
     _, _, inst4 = load_sample(path, dtype=np.float32, instance_cache=cache)
     assert len(inst4) == 2
-    assert len(cache) == 2
+    assert len(cache) == 1  # superseded entry evicted, not accumulated
