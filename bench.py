@@ -115,6 +115,44 @@ def run_selfchecks():
             f"> {tol} * {scale:.2f})",
             file=sys.stderr,
         )
+
+    # 3. block-sparse eval chain vs module path — gated ONLY when
+    # sparse_eval ships as the model default (then a Mosaic regression in
+    # ops/stgcn_sparse.py could corrupt the headline exactly like the FPS
+    # case); while it is opt-in, its on-chip agreement is checked by
+    # scripts/bench_generate_ab.py instead, and the official bench does not
+    # pay the extra compile.
+    from pose2room_tpu.models import P2RNetConfig
+
+    if P2RNetConfig().sparse_eval:
+        model = STGCN(dtype=jnp.bfloat16, fused_eval=True, sparse_eval=True)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != "cpu":
+            with jax.default_device(cpu):
+                variables = model.init({"params": key}, x[:1], train=False)
+            variables = jax.device_put(variables, jax.devices()[0])
+        else:
+            variables = model.init({"params": key}, x[:1], train=False)
+        out = jax.jit(lambda v, xx, mdl=model: mdl.apply(v, xx, train=False))(
+            variables, x
+        )
+        d = np.abs(np.asarray(out["seed_features"], np.float32) - outs[False])
+        if d.max() <= tol * scale:
+            print(
+                f"selftest sparse-chain vs module: OK (max |diff| "
+                f"{d.max():.4f}, scale {scale:.2f})",
+                file=sys.stderr,
+            )
+        else:
+            ok = False
+            print(
+                f"selftest sparse-chain vs module: FAIL (max |diff| "
+                f"{d.max():.4f} > {tol} * {scale:.2f})",
+                file=sys.stderr,
+            )
     return ok
 
 

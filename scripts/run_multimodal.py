@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse the newest existing checkpoint under --root")
+    ap.add_argument("--platform", default="axon", choices=["axon", "cpu"],
+                    help="cpu = strip the axon site from the subprocess "
+                    "PYTHONPATH and force the CPU backend (plumbing smoke "
+                    "without the chip; the official run uses the TPU)")
     args = ap.parse_args()
 
     from pose2room_tpu.data import write_synthetic_dataset
@@ -77,7 +81,11 @@ def main():
     train_cfg["device"]["num_workers"] = 2
 
     env = dict(os.environ)
-    env["PYTHONPATH"] = "/root/.axon_site:" + REPO
+    if args.platform == "cpu":
+        env["PYTHONPATH"] = REPO
+        env["JAX_PLATFORMS"] = "cpu"
+    else:
+        env["PYTHONPATH"] = "/root/.axon_site:" + REPO
 
     if not args.skip_train:
         cfg_path = os.path.join(args.root, "train.yaml")

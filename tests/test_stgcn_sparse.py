@@ -190,3 +190,24 @@ def test_backbone_sparse_matches_module(dtype):
     scale = np.abs(outs["module"]).max()
     tol = 0.05 if dtype == jnp.bfloat16 else 2e-5
     assert np.abs(outs["sparse"] - outs["module"]).max() <= tol * scale
+
+
+def test_pick_rows_scales_with_row_width():
+    """The resident-row-chunk picker budgets by the ACTUAL row width: a
+    wider-than-default merged layout (e.g. a bigger skeleton) must shrink
+    the chunk so the double-buffered x block stays under the scoped-VMEM
+    cap (regression: the budget once hardcoded Wp=3456)."""
+    from pose2room_tpu.ops.stgcn_sparse import _pick_rows
+
+    budget = 3_500_000
+    for width in (3456, 6912, 11520, 23040):
+        for itemsize in (2, 4):
+            r = _pick_rows(10_000, width, itemsize)
+            assert r % 128 == 0 and r >= 128
+            if r > 128:  # above the floor, the block must fit the budget
+                assert r * width * itemsize <= budget
+    # default shapes unchanged by the fix
+    assert _pick_rows(98304, 3456, 2) == 384
+    assert _pick_rows(98304, 3456, 4) == 128
+    # tiny row counts stay clamped to the padded row count
+    assert _pick_rows(96, 3456, 4) == 128
