@@ -41,9 +41,11 @@ class P2RNetConfig:
     fused_eval: bool = True
     # block-sparse folded graph matmul for the fused eval chain
     # (ops/stgcn_sparse.py): skip the zero 128x128 tiles of the folded
-    # matrix under a joint permutation (279/729 tiles).  Default OFF until
-    # the on-chip A/B lands (BENCH_NOTES.md); model.sparse_eval: true
-    # enables it
+    # matrix under a joint permutation (279/729 tiles).  Default OFF —
+    # the on-chip A/B measured it 0.815x the dense form (the K=128 tap
+    # matmuls cannot fill the MXU pipeline; BENCH_NOTES.md round-4).
+    # Kept as a measured negative result + correctness-tested kernel;
+    # model.sparse_eval: true enables it
     sparse_eval: bool = False
     # fused Pallas ST-GCN TRAIN chain with a custom VJP through live BN
     # statistics (ops/stgcn_train.py); both compute dtypes since round 4.
