@@ -115,8 +115,8 @@ class P2RNet(nn.Module):
             name="detection",
         )
 
-    def _trunk(self, input_joints, train):
-        end_points = self.backbone(input_joints, train=train)
+    def _trunk(self, input_joints, train, folded=None):
+        end_points = self.backbone(input_joints, train=train, folded=folded)
         xyz, features = self.centervoting(
             end_points["seed_skeleton"], end_points["seed_features"], train=train
         )
@@ -134,9 +134,25 @@ class P2RNet(nn.Module):
             xyz, features, end_points, train=train, generate=False, rng=rng
         )
 
-    def generate(self, input_joints, multi_mode: bool = False, n_samples: int = 1):
+    def fold_eval(self):
+        """Weight-only folded operands for the fused eval path (see
+        STGCN.fold_eval_operands): jit once per weight load, pass the
+        result to ``generate(folded=...)`` so per-call generate never
+        re-folds the six graph matrices (~0.54 ms device time — 39% of
+        the batch-1 step).  Empty tuple when the fused path is off."""
+        return self.backbone.fold_eval_operands()
+
+    def generate(
+        self,
+        input_joints,
+        multi_mode: bool = False,
+        n_samples: int = 1,
+        folded=None,
+    ):
         """Deterministic (or multi-mode sampled) eval forward pass."""
-        end_points, xyz, features = self._trunk(input_joints, train=False)
+        end_points, xyz, features = self._trunk(
+            input_joints, train=False, folded=folded
+        )
         rng = self.make_rng("mdn") if multi_mode else None
         return self.detection(
             xyz,

@@ -141,8 +141,48 @@ class STGCN(nn.Module):
             np.diff(self._sparse_col_off).astype(np.int64),
         )
 
-    def __call__(self, input_joints, train: bool = False):
-        """input_joints: (B, T, V, 3) -> dict of seed tensors."""
+    def _fold_dense(self):
+        """Folded (M, vecs, KB) operands for every block, dense eval path."""
+        ops = []
+        for blk, imp in zip(self.blocks, self.edge_importance):
+            ops.extend(blk.fold_eval_arrays(self.A * imp))
+        return tuple(ops)
+
+    def _fold_sparse(self):
+        """Folded (tiles, vecs, KB) operands, block-sparse eval path."""
+        ops = []
+        for blk, imp in zip(self.blocks, self.edge_importance):
+            ops.extend(
+                blk.fold_eval_arrays_sparse(
+                    self.A * imp,
+                    self._sparse_order,
+                    self._sparse_vlist,
+                    self._sparse_wlist,
+                )
+            )
+        return tuple(ops)
+
+    def fold_eval_operands(self):
+        """Eval-path folded operands as a flat tuple — a function of params
+        only.  Re-folding the six (3392, 3392) graph matrices inside every
+        generate call costs ~0.54 ms of device time (einsum + a 23 MB
+        non-bitcastable reshape per block — 39% of the batch-1 step,
+        profiled in BENCH_NOTES.md round-4); weights are fixed at serving
+        time, so runners jit THIS once per weight load and pass the result
+        back through ``__call__(folded=...)``.  Empty tuple when the fused
+        eval path is off/unfusable (callers pass folded=None then)."""
+        if not (self.fused_eval and all(b.fusable for b in self.blocks)):
+            return ()
+        if self.sparse_eval and self.in_channels == 64:
+            return self._fold_sparse()
+        return self._fold_dense()
+
+    def __call__(self, input_joints, train: bool = False, folded=None):
+        """input_joints: (B, T, V, 3) -> dict of seed tensors.
+
+        folded: optional precomputed ``fold_eval_operands()`` tuple (eval
+        only); when given, the per-block graph-matrix folding is skipped.
+        """
         B, T, V, _ = input_joints.shape
         origin = input_joints[:, :, self.origin_joint_id, :3]  # (B,T,3)
 
@@ -241,15 +281,7 @@ class STGCN(nn.Module):
             col_off = jnp.asarray(self._sparse_col_off)
             vlist = jnp.asarray(self._sparse_vlist)
             operands = [hm, col_off, vlist]
-            for blk, imp in zip(self.blocks, self.edge_importance):
-                operands.extend(
-                    blk.fold_eval_arrays_sparse(
-                        self.A * imp,
-                        order,
-                        self._sparse_vlist,
-                        self._sparse_wlist,
-                    )
-                )
+            operands.extend(folded if folded else self._fold_sparse())
             residuals = tuple(blk.residual for blk in self.blocks)
             vl_np, wl_np = self._sparse_vlist, self._sparse_wlist
 
@@ -299,8 +331,7 @@ class STGCN(nn.Module):
             # and the padded width first materializes as its OUTPUT
             hm = h.astype(self.dtype or jnp.float32).reshape(B, T, W0)
             operands = [hm]
-            for blk, imp in zip(self.blocks, self.edge_importance):
-                operands.extend(blk.fold_eval_arrays(self.A * imp))
+            operands.extend(folded if folded else self._fold_dense())
             residuals = tuple(blk.residual for blk in self.blocks)
 
             def _chain(layer_fn):

@@ -13,7 +13,7 @@ import numpy as np
 from pose2room_tpu.data.dataset import load_demo_clip
 from pose2room_tpu.eval import parse_predictions, assembly_pred_map_cls
 from pose2room_tpu.runners.common import setup
-from pose2room_tpu.train.step import make_generate_fn
+from pose2room_tpu.train.step import make_fold_fn, make_generate_fn
 from pose2room_tpu.utils.vis import dump_predictions, write_ply_boxes, write_ply_points
 
 
@@ -29,6 +29,9 @@ def run(cfg):
 
     data_cfg = cfg.config["data"]
     generate = make_generate_fn(model)
+    # fold the graph matrices once — demo is the batch-1 latency path where
+    # the inline re-fold would be 39% of the device step (BENCH_NOTES.md)
+    folded = make_fold_fn(model)(state)
     results = []
     for path in inputs:
         joints = load_demo_clip(
@@ -36,7 +39,7 @@ def run(cfg):
             num_frames=data_cfg.get("num_frames", 768),
             use_height=not data_cfg.get("no_height", True),
         )[None]  # (1,T,V,3)
-        end_points = generate(state, joints)
+        end_points = generate(state, joints, folded=folded)
         eval_dict, parsed = parse_predictions(
             end_points, {"input_joints": joints}, cfg.eval_config
         )

@@ -96,24 +96,55 @@ def make_eval_step(model, origin_joint_id=0):
     return eval_step
 
 
+def make_fold_fn(model):
+    """Jitted weight-only fold of the fused-eval graph operands.
+
+    Re-folding the six (3392, 3392) graph matrices inside every generate
+    call costs ~0.54 ms of device time (39% of the batch-1 step — profiled
+    in BENCH_NOTES.md round-4); weights are fixed at serving time, so the
+    runners call this ONCE per weight load and pass the result to the
+    generate fn's ``folded`` argument.  Returns () when the fused eval path
+    is disabled/unfusable — pass None to generate in that case (both are
+    equivalent; the per-call inline fold is then used).
+    """
+    from pose2room_tpu.models.p2rnet import P2RNet
+
+    @jax.jit
+    def fold(state: TrainState):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            method=P2RNet.fold_eval,
+        )
+
+    def fold_or_none(state):
+        folded = fold(state)
+        return folded if folded else None
+
+    return fold_or_none
+
+
 def make_generate_fn(model, multi_mode=False, n_samples=1):
     """Jitted inference returning the full end_points dict.
 
     Deterministic (MDN get_mean) by default; with ``multi_mode`` the mixture
     modes are Bernoulli-sampled ``n_samples`` times and averaged (the
     reference's multi-modal generation path, proposal_net.py:239-241).
+
+    ``folded``: optional precomputed make_fold_fn(model)(state) operands —
+    the serving configuration; omitting it folds inline each call.
     """
     from pose2room_tpu.models.p2rnet import P2RNet
 
     if multi_mode:
 
         @jax.jit
-        def generate(state: TrainState, input_joints, rng):
+        def generate(state: TrainState, input_joints, rng, folded=None):
             return model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 input_joints,
                 multi_mode=True,
                 n_samples=n_samples,
+                folded=folded,
                 method=P2RNet.generate,
                 rngs={"mdn": rng},
             )
@@ -121,10 +152,11 @@ def make_generate_fn(model, multi_mode=False, n_samples=1):
     else:
 
         @jax.jit
-        def generate(state: TrainState, input_joints, rng=None):
+        def generate(state: TrainState, input_joints, rng=None, folded=None):
             return model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 input_joints,
+                folded=folded,
                 method=P2RNet.generate,
             )
 
