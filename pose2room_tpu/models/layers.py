@@ -30,6 +30,9 @@ class MLP1x1(nn.Module):
     use_bn: bool = True
     final_plain: bool = True
     dtype: Any = None
+    # flax convention (EMA keep-rate); the torch-convention momentum the
+    # reference's BNMomentumScheduler sets is 1 - this (optimizers.py:54-58)
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -43,7 +46,7 @@ class MLP1x1(nn.Module):
                 if self.use_bn:
                     x = nn.BatchNorm(
                         use_running_average=not train,
-                        momentum=0.9,
+                        momentum=self.bn_momentum,
                         dtype=jnp.float32,
                         name=f"bn{i}",
                     )(x)
@@ -183,13 +186,16 @@ class STGCNBlock(nn.Module):
     stride: int = 1
     residual: bool = True
     dtype: Any = None
+    bn_momentum: float = 0.9
 
     def setup(self):
         K = self.spatial_kernel_size
         self.gcn_dense = _DenseParams(
             self.in_channels, self.out_channels * K, name="gcn_dense"
         )
-        self.tcn_bn1 = BatchNormCompat(self.out_channels, name="tcn_bn1")
+        self.tcn_bn1 = BatchNormCompat(
+            self.out_channels, momentum=self.bn_momentum, name="tcn_bn1"
+        )
         self.tcn_conv = TemporalConv(
             self.out_channels,
             self.out_channels,
@@ -198,7 +204,9 @@ class STGCNBlock(nn.Module):
             dtype=self.dtype,
             name="tcn_conv",
         )
-        self.tcn_bn2 = BatchNormCompat(self.out_channels, name="tcn_bn2")
+        self.tcn_bn2 = BatchNormCompat(
+            self.out_channels, momentum=self.bn_momentum, name="tcn_bn2"
+        )
         self._identity_res = (
             self.residual
             and self.in_channels == self.out_channels
@@ -212,7 +220,9 @@ class STGCNBlock(nn.Module):
                 dtype=self.dtype,
                 name="res_conv",
             )
-            self.res_bn = BatchNormCompat(self.out_channels, name="res_bn")
+            self.res_bn = BatchNormCompat(
+                self.out_channels, momentum=self.bn_momentum, name="res_bn"
+            )
 
     def _folded_graph_matrix(self, A, dt):
         """(V*C_in, V*C_out) folded matrix + (V, C_out) bias term.

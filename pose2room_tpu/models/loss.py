@@ -171,3 +171,60 @@ def detection_loss(end_points, gt_data, origin_joint_id=0):
         "neg_ratio": neg_ratio,
         "obj_acc": obj_acc,
     }
+
+
+def eval_nn_loss(end_points, gt_data):
+    """Alternative validation loss — reference Trainer.eval_nn_loss
+    (models/p2rnet/training.py:38-91; defined but unused in the reference
+    loop): smooth-L1 Chamfer on centers over the VALID GT boxes, then
+    size/heading/class penalties gathered at the per-proposal nearest-GT
+    assignment, with NO objectness gating.
+
+    The reference loops per sample because GT counts vary; here the padded
+    fixed-shape (B, K2) GT array is masked instead (padding is a suffix, so
+    +BIG on padded columns preserves every argmin index the reference's
+    valid-prefix slice would produce).  total = 10*center + 10*size +
+    10*heading + sem_cls (training.py:83).
+    """
+    pred_center = end_points["center"]  # (B,K,3)
+    gt_center = gt_data["center_label"][:, :, 0:3]  # (B,K2,3)
+    box_mask = gt_data["box_label_mask"]  # (B,K2)
+    B, K = pred_center.shape[:2]
+
+    # pairwise smooth-L1 distance (nn_distance l1smooth=True semantics)
+    diff = pred_center[:, :, None, :] - gt_center[:, None, :, :]
+    pc_dist = jnp.sum(huber_loss(diff, delta=1.0), axis=-1)  # (B,K,K2)
+    pc_dist = pc_dist + (1.0 - box_mask)[:, None, :] * _BIG
+    dist1 = jnp.min(pc_dist, axis=2)  # (B,K)
+    object_assignment = jnp.argmin(pc_dist, axis=2)  # (B,K)
+    dist2 = jnp.min(pc_dist, axis=1)  # (B,K2); padded cols masked in the sum
+
+    centroid_reg_loss1 = jnp.sum(dist1) / (B * K + 1e-6)
+    centroid_reg_loss2 = jnp.sum(dist2 * box_mask) / (jnp.sum(box_mask) + 1e-6)
+    center_loss = (centroid_reg_loss1 + centroid_reg_loss2) / 2.0
+
+    gt_size = jnp.take_along_axis(
+        gt_data["size"], object_assignment[:, :, None], axis=1
+    )
+    size_loss = jnp.mean(
+        jnp.mean(huber_loss(end_points["size"] - gt_size, delta=1.0), axis=-1)
+    )
+    gt_heading = jnp.take_along_axis(
+        gt_data["heading"], object_assignment[:, :, None], axis=1
+    )
+    heading_loss = jnp.mean(
+        jnp.mean(huber_loss(end_points["heading"] - gt_heading, delta=1.0), axis=-1)
+    )
+    gt_cls = jnp.take_along_axis(gt_data["sem_cls_label"], object_assignment, axis=1)
+    sem_cls_loss = jnp.mean(_weighted_ce(end_points["sem_cls_scores"], gt_cls))
+
+    total = 10.0 * center_loss + 10.0 * size_loss + 10.0 * heading_loss + sem_cls_loss
+    return {
+        "total": total,
+        "center_loss": center_loss,
+        "size_loss": size_loss,
+        "heading_loss": heading_loss,
+        "sem_cls_loss": sem_cls_loss,
+        "centroid_reg_loss1": centroid_reg_loss1,
+        "centroid_reg_loss2": centroid_reg_loss2,
+    }

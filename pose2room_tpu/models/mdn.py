@@ -27,9 +27,13 @@ class MDNHead(nn.Module):
     mu_init: np.ndarray  # (G, D)
     hidden_dim: int = 128
     n_samples: int = 1
+    bn_momentum: float = 0.9
 
     def setup(self):
-        self.backbone = MLP1x1([self.hidden_dim], final_plain=False, name="backbone")
+        self.backbone = MLP1x1(
+            [self.hidden_dim], final_plain=False,
+            bn_momentum=self.bn_momentum, name="backbone",
+        )
         self.pi_head = nn.Dense(self.num_gaussian, name="pi")
         mu_init = np.asarray(self.mu_init, dtype=np.float32)
         assert mu_init.shape == (self.num_gaussian, self.out_dim)

@@ -55,6 +55,11 @@ class P2RNetConfig:
     # the chain is a pure reassociation of the module math (384-wide
     # tiles).  model.fused_train: false restores the module path
     fused_train: bool = True
+    # BatchNorm EMA keep-rate, flax convention (= 1 - torch momentum).
+    # Schedulable per epoch when a ``bnscheduler`` config section exists —
+    # the reference's dormant BNMomentumScheduler (optimizers.py:54-58,
+    # 121-149); see train/state.py:bnm_momentum + train/engine.py
+    bn_momentum: float = 0.9
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -63,6 +68,7 @@ class P2RNetConfig:
         model_cfg = cfg.config.get("model", {}) or {}
         return cls(
             compute_dtype=model_cfg.get("compute_dtype", "float32"),
+            bn_momentum=float(model_cfg.get("bn_momentum", 0.9)),
             fused_eval=model_cfg.get("fused_eval", True),
             sparse_eval=model_cfg.get("sparse_eval", False),
             fused_train=model_cfg.get("fused_train", True),
@@ -98,12 +104,14 @@ class P2RNet(nn.Module):
             fused_eval=c.fused_eval,
             sparse_eval=c.sparse_eval,
             fused_train=c.fused_train,
+            bn_momentum=c.bn_momentum,
             name="backbone",
         )
         self.centervoting = CenterVote(
             origin_joint_id=c.origin_joint_id,
             vote_factor=c.vote_factor,
             dtype=dtype,
+            bn_momentum=c.bn_momentum,
             name="centervoting",
         )
         self.detection = ProposalNet(
@@ -112,6 +120,7 @@ class P2RNet(nn.Module):
             sampling=c.cluster_sampling,
             num_gaussian=c.num_gaussian,
             dtype=dtype,
+            bn_momentum=c.bn_momentum,
             name="detection",
         )
 

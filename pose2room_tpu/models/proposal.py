@@ -41,37 +41,42 @@ class ProposalNet(nn.Module):
     num_gaussian: int = 100
     gmm_dim: int = 128
     dtype: object = None
+    bn_momentum: float = 0.9
 
     def setup(self):
+        bnm = self.bn_momentum
         # reference mlp spec [256,256,256] INCLUDES the input dim -> 2 layers
         # (pointnet2_modules.py:build_shared_mlp iterates transitions)
         self.sa_mlp = MLP1x1(
             [256, self.feature_dim], use_bn=False, final_plain=False,
             dtype=self.dtype, name="sa_mlp"
         )
-        self.conv_center = MLP1x1([128, self.gmm_dim], final_plain=False, dtype=self.dtype, name="conv_center")
-        self.conv_heading = MLP1x1([128, self.gmm_dim], final_plain=False, dtype=self.dtype, name="conv_heading")
-        self.conv_size = MLP1x1([128, self.gmm_dim], final_plain=False, dtype=self.dtype, name="conv_size")
+        self.conv_center = MLP1x1([128, self.gmm_dim], final_plain=False, dtype=self.dtype, bn_momentum=bnm, name="conv_center")
+        self.conv_heading = MLP1x1([128, self.gmm_dim], final_plain=False, dtype=self.dtype, bn_momentum=bnm, name="conv_heading")
+        self.conv_size = MLP1x1([128, self.gmm_dim], final_plain=False, dtype=self.dtype, bn_momentum=bnm, name="conv_size")
         self.conv_sem_obj = MLP1x1(
             [128, 128, 2 + self.num_class], final_plain=True,
-            dtype=self.dtype, name="conv_sem_obj"
+            dtype=self.dtype, bn_momentum=bnm, name="conv_sem_obj"
         )
         self.gmm_center = MDNHead(
             num_gaussian=self.num_gaussian,
             out_dim=3,
             mu_init=center_mu_init(self.num_gaussian),
+            bn_momentum=bnm,
             name="gmm_center",
         )
         self.gmm_size = MDNHead(
             num_gaussian=self.num_gaussian,
             out_dim=3,
             mu_init=size_mu_init(self.num_gaussian),
+            bn_momentum=bnm,
             name="gmm_size",
         )
         self.gmm_heading = MDNHead(
             num_gaussian=self.num_gaussian,
             out_dim=2,
             mu_init=heading_mu_init(self.num_gaussian),
+            bn_momentum=bnm,
             name="gmm_heading",
         )
 

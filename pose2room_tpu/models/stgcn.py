@@ -78,14 +78,23 @@ class STGCN(nn.Module):
     # convergence A/B in BENCH_NOTES.md; on f32 the chain is a pure
     # reassociation of the module math)
     fused_train: bool = True
+    # flax-convention EMA keep-rate; schedulable per epoch via the
+    # reference's BNMomentumScheduler equivalent (train/state.py:bnm_momentum)
+    bn_momentum: float = 0.9
 
     def setup(self):
         self.A = jnp.asarray(
             build_spatial_graph(self.num_joints, max_hop=self.max_hop)
         )  # (K, V, V)
         K = self.A.shape[0]
-        self.pos_embed = MLP1x1([64, 64, self.in_channels], dtype=self.dtype, name="pos_embed")
-        self.sk_feat = MLP1x1([64, 64, self.in_channels], dtype=self.dtype, name="sk_feat")
+        self.pos_embed = MLP1x1(
+            [64, 64, self.in_channels], dtype=self.dtype,
+            bn_momentum=self.bn_momentum, name="pos_embed",
+        )
+        self.sk_feat = MLP1x1(
+            [64, 64, self.in_channels], dtype=self.dtype,
+            bn_momentum=self.bn_momentum, name="sk_feat",
+        )
         blocks = []
         channels = [64, 64, 64, 64, 64, self.out_joint_channels]
         in_ch = self.in_channels
@@ -98,6 +107,7 @@ class STGCN(nn.Module):
                     num_joints=self.num_joints,
                     residual=(i != 0),
                     dtype=self.dtype,
+                    bn_momentum=self.bn_momentum,
                     name=f"gcn{i}",
                 )
             )

@@ -17,6 +17,7 @@ class CenterVote(nn.Module):
     vote_factor: int = 1
     feature_dim: int = 256
     dtype: object = None
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, seed_skeleton, seed_features, train: bool = False):
@@ -31,6 +32,7 @@ class CenterVote(nn.Module):
         out = MLP1x1(
             [256, 256, (3 + self.feature_dim) * self.vote_factor],
             dtype=self.dtype,
+            bn_momentum=self.bn_momentum,
             name="conv_input",
         )(seed_features, train=train)
         out = out.astype(jnp.float32)

@@ -161,6 +161,13 @@ def train(
     origin = cfg.dataset_config.origin_joint_id
     train_step = make_train_step(model, tx, origin)
     eval_step = make_eval_step(model, origin)
+    # BN-momentum schedule (reference BNMomentumScheduler, dormant by
+    # default — only active when the config has a ``bnscheduler`` section).
+    # Momentum is a module attribute, so a value change rebuilds the model
+    # and re-jits the steps; the schedule plateaus after a few decays, so
+    # this costs a handful of recompiles per run.
+    bns_cfg = cfg.config.get("bnscheduler")
+    current_bnm = getattr(model.config, "bn_momentum", None)
 
     total_epochs = cfg.config["train"]["epochs"]
     sched = cfg.config.get("scheduler", {})
@@ -187,6 +194,22 @@ def train(
         log(f"Profiling steps 3..{3 + profile_steps} -> {profile_dir}")
 
     for epoch in range(start_epoch, total_epochs):
+        if bns_cfg:
+            from pose2room_tpu.train.state import bnm_momentum
+            import dataclasses
+
+            flax_m = bnm_momentum(bns_cfg, epoch)
+            if flax_m != current_bnm:
+                current_bnm = flax_m
+                model = type(model)(
+                    config=dataclasses.replace(
+                        model.config, bn_momentum=flax_m
+                    )
+                )
+                train_step = make_train_step(model, tx, origin)
+                eval_step = make_eval_step(model, origin)
+            # reference BNMomentumScheduler.show_momentum (torch convention)
+            log(f"Current BN decay momentum :{1.0 - flax_m:f}.")
         factor = gamma ** sum(1 for m in milestones if epoch >= m)
         state = state.replace(
             opt_state=apply_lr_schedule(state.opt_state, factor, opt_info)

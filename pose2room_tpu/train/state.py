@@ -38,6 +38,26 @@ def epoch_lr(base_lr, milestones, gamma, epoch):
     return base_lr * (gamma ** passed)
 
 
+def bnm_momentum(bns_cfg, epoch):
+    """BN momentum at an epoch under the reference's BNMomentumScheduler
+    lambda (models/optimizers.py:54-58: ``max(init * rate**(epoch // step),
+    floor)``, torch convention) — returned as the FLAX keep-rate
+    ``1 - torch_momentum`` for P2RNetConfig.bn_momentum.
+
+    Dormant in the reference's shipped recipe (load_bnm_scheduler is never
+    called); activated here by a ``bnscheduler:`` config section with the
+    same keys.  Applied at EPOCH granularity by train/engine.py — the
+    handful of distinct values over a run means a handful of step
+    recompiles, matching the reference's model.apply-per-epoch semantics.
+    """
+    torch_m = max(
+        float(bns_cfg["bn_momentum_init"])
+        * float(bns_cfg["bn_decay_rate"]) ** int(epoch // int(bns_cfg["bn_decay_step"])),
+        float(bns_cfg["bn_momentum_max"]),
+    )
+    return 1.0 - torch_m
+
+
 def _adamw(optim_cfg, lr):
     betas = optim_cfg.get("betas", [0.9, 0.999])
     return optax.inject_hyperparams(optax.adamw)(

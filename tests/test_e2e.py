@@ -45,6 +45,11 @@ def _tiny_config(root, split_dir, mode, weight=None):
         "optimizer": {"method": "Adam", "lr": 1e-3, "betas": [0.9, 0.999],
                       "eps": 1e-8, "weight_decay": 0, "clip_norm": -1},
         "scheduler": {"milestones": [1], "gamma": 0.1},
+        # dormant-by-default reference BNMomentumScheduler, activated here
+        # so the engine's per-epoch momentum rebuild path is exercised
+        # (decay step 1 -> momentum changes between the two epochs)
+        "bnscheduler": {"bn_momentum_init": 0.5, "bn_decay_rate": 0.5,
+                        "bn_decay_step": 1, "bn_momentum_max": 0.001},
         "train": {"epochs": 2, "phase": "full", "freeze": [], "batch_size": 2},
         "val": {"phase": "full", "batch_size": 2},
         "test": {
@@ -91,6 +96,11 @@ def test_train_then_test_then_demo(workspace):
     # log file written
     log_txt = os.path.join(cfg.save_path, "log.txt")
     assert os.path.isfile(log_txt)
+    # BN-momentum schedule ran (reference show_momentum format), and both
+    # epochs' values appear (decay step 1 -> 0.5 then 0.25)
+    log_text = open(log_txt).read()
+    assert "Current BN decay momentum :0.500000." in log_text
+    assert "Current BN decay momentum :0.250000." in log_text
 
     # ---- test (finetune-load the trained weights) ----
     from pose2room_tpu.runners import test as test_runner

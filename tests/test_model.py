@@ -216,3 +216,77 @@ def test_seed_fps_sampling_path():
     assert out["aggregated_vote_xyz"].shape == (2, 8, 3)
     inds = np.asarray(out["aggregated_vote_inds"])
     assert inds.min() >= 0 and inds.max() < cfg.num_seeds
+
+
+def test_eval_nn_loss_matches_reference_port():
+    """eval_nn_loss vs a per-sample nested-loop numpy port of the reference
+    Trainer.eval_nn_loss (models/p2rnet/training.py:38-91)."""
+    from pose2room_tpu.models.loss import eval_nn_loss
+
+    rng = np.random.RandomState(3)
+    B, K, K2, NC = 3, 6, 5, 22
+
+    def huber(e, delta=1.0):
+        a = np.abs(e)
+        q = np.minimum(a, delta)
+        return 0.5 * q ** 2 + delta * (a - q)
+
+    end_points = {
+        "center": rng.randn(B, K, 3).astype(np.float32),
+        "size": rng.randn(B, K, 3).astype(np.float32) * 0.3,
+        "heading": rng.randn(B, K, 2).astype(np.float32),
+        "sem_cls_scores": rng.randn(B, K, NC).astype(np.float32),
+    }
+    n_valid = np.array([1, 3, K2])
+    mask = (np.arange(K2)[None, :] < n_valid[:, None]).astype(np.float32)
+    gt = {
+        "center_label": rng.randn(B, K2, 3).astype(np.float32),
+        "box_label_mask": mask,
+        "size": rng.randn(B, K2, 3).astype(np.float32) * 0.3,
+        "heading": rng.randn(B, K2, 2).astype(np.float32),
+        "sem_cls_label": rng.randint(0, NC, (B, K2)).astype(np.int32),
+    }
+
+    # reference port: per-sample loop over the VALID (prefix) GT boxes
+    l1 = l2 = 0.0
+    assign = np.zeros((B, K), np.int64)
+    for b in range(B):
+        nv = int(n_valid[b])
+        d = huber(
+            end_points["center"][b][:, None, :] - gt["center_label"][b][:nv][None]
+        ).sum(-1)  # (K, nv)
+        l1 += d.min(1).sum()
+        l2 += d.min(0).sum()
+        assign[b] = d.argmin(1)
+    l1 /= B * K + 1e-6
+    l2 /= mask.sum() + 1e-6
+    center = (l1 + l2) / 2
+    gt_size = np.take_along_axis(gt["size"], assign[:, :, None], axis=1)
+    size = huber(end_points["size"] - gt_size).mean(-1).mean()
+    gt_head = np.take_along_axis(gt["heading"], assign[:, :, None], axis=1)
+    heading = huber(end_points["heading"] - gt_head).mean(-1).mean()
+    gt_cls = np.take_along_axis(gt["sem_cls_label"], assign, axis=1)
+    logits = end_points["sem_cls_scores"]
+    logp = logits - np.log(
+        np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)
+    ) - logits.max(-1, keepdims=True)
+    ce = -np.take_along_axis(logp, gt_cls[..., None], axis=-1)[..., 0].mean()
+    expect = {
+        "total": 10 * center + 10 * size + 10 * heading + ce,
+        "center_loss": center,
+        "size_loss": size,
+        "heading_loss": heading,
+        "sem_cls_loss": ce,
+        "centroid_reg_loss1": l1,
+        "centroid_reg_loss2": l2,
+    }
+
+    got = jax.jit(eval_nn_loss)(
+        {k: jnp.asarray(v) for k, v in end_points.items()},
+        {k: jnp.asarray(v) for k, v in gt.items()},
+    )
+    assert set(got) == set(expect)
+    for k in expect:
+        np.testing.assert_allclose(
+            float(got[k]), expect[k], rtol=1e-5, atol=1e-6, err_msg=k
+        )
