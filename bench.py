@@ -390,9 +390,14 @@ def run_train_selfcheck(dtype_name):
     return ok
 
 
-# v5e MXU peak: bf16 matmuls 197 TF/s; f32 inputs take multiple passes
-# (~1/4 rate) — MFU for each dtype is quoted against its own ceiling
-_V5E_PEAK = {"bfloat16": 197e12, "float32": 49e12}
+# v5e MXU peak: 197 TF/s (bf16 passes).  BOTH dtypes quote MFU against it:
+# at jax's DEFAULT matmul precision an f32 contraction also executes as
+# bf16 MXU passes (the same fact that root-caused the round-4 train-gate
+# failure — see run_train_selfcheck), so 197 TF/s is the real ceiling of
+# the timed program for f32 too.  A ~49 TF/s f32 ceiling would apply only
+# under precision=HIGHEST, which the production step does not use; quoting
+# against it produced a nonsensical 176% MFU (round-5 first run).
+_V5E_PEAK = {"bfloat16": 197e12, "float32": 197e12}
 
 
 def run_train_bench(dtypes=("bfloat16", "float32"), batches=(8, 32),
@@ -516,10 +521,10 @@ def main():
         "publishes the train-step section)",
     )
     parser.add_argument(
-        "--train-dtypes", default="bfloat16",
-        help="comma list of train-leg dtypes; default bf16 only — every "
-        "extra leg costs a full remote compile (the f32 numbers are "
-        "recorded in BENCH_NOTES.md from scripts/bench_train_step.py)",
+        "--train-dtypes", default="bfloat16,float32",
+        help="comma list of train-leg dtypes; the official bench publishes "
+        "both (each extra leg costs a full remote compile — trim for "
+        "iteration runs)",
     )
     parser.add_argument("--train-batches", default="8,32")
     parser.add_argument(

@@ -1,17 +1,46 @@
 """Host-side batched data loader with prefetch and per-host sharding.
 
 TPU-native replacement for the reference's torch DataLoader stack
-(models/p2rnet/dataloader.py:173-197): instead of worker processes + a
-DistributedSampler, samples are read by a thread pool (HDF5 reads release the
-GIL), collated into fixed-shape numpy batches, and — in multi-host runs —
-each host reads only its ``process_index``-th shard of the epoch permutation
+(models/p2rnet/dataloader.py:173-197): samples are read by a worker pool,
+collated into fixed-shape numpy batches, and — in multi-host runs — each
+host reads only its ``process_index``-th shard of the epoch permutation
 (the jax analogue of DistributedSampler).  Per-epoch reshuffling matches
 ``sampler.set_epoch`` semantics via seed = base_seed + epoch.
+
+Two worker modes (``device.worker_mode``):
+
+* ``thread`` (default): a ThreadPoolExecutor — HDF5 reads and large numpy
+  augmentation ops release the GIL, so threads overlap IO with device steps
+  at zero IPC cost; throughput is bounded by roughly one core of Python
+  (measured 114 samples/s/core, BENCH_NOTES.md round-4).
+* ``process``: a fork-based ProcessPoolExecutor — the reference's
+  12-worker-process DataLoader equivalent (dataloader.py:173-197) for
+  multi-core hosts where one core of Python cannot feed the chip; samples
+  return by pickle (≈1.5 MB each), so this pays IPC to buy real
+  parallelism.  Determinism is identical to thread mode: per-sample
+  augmentation seeds are pre-drawn from the epoch RNG, so results do not
+  depend on which worker (or how many) fetched a sample.
 """
 
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
+
+# per-worker dataset slot for process mode (set once by the pool
+# initializer; workers use it strictly read-only)
+_WORKER_DATASET = None
+
+
+def _process_worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _process_worker_fetch(args):
+    idx, seed = args
+    return _WORKER_DATASET.__getitem__(
+        int(idx), rng=np.random.RandomState(int(seed))
+    )
 
 
 def collate(samples):
@@ -37,6 +66,7 @@ class DataLoader:
         num_workers=8,
         process_index=0,
         process_count=1,
+        worker_mode="thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -46,8 +76,25 @@ class DataLoader:
         self.num_workers = num_workers
         self.process_index = process_index
         self.process_count = process_count
+        self.worker_mode = worker_mode
         self.epoch = 0
-        self._pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers else None
+        if not num_workers:
+            self._pool = None
+        elif worker_mode == "process":
+            import multiprocessing
+
+            # fork: workers inherit the page cache and cost no spawn-time
+            # re-import; the dataset is shipped once via the initializer
+            self._pool = ProcessPoolExecutor(
+                max_workers=num_workers,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_process_worker_init,
+                initargs=(dataset,),
+            )
+        elif worker_mode == "thread":
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
+        else:
+            raise ValueError(f"unknown worker_mode {worker_mode!r}")
         # dedicated single-thread prefetcher: reads batch k+1 while batch k
         # trains (must be distinct from _pool — its task blocks on _pool.map)
         self._prefetcher = ThreadPoolExecutor(max_workers=1) if num_workers else None
@@ -100,10 +147,17 @@ class DataLoader:
             chunk = order[start : start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return None
-            if self._pool is not None:
-                samples = list(self._pool.map(fetch, chunk))
-            else:
+            if self._pool is None:
                 samples = [fetch(i) for i in chunk]
+            elif self.worker_mode == "process":
+                samples = list(
+                    self._pool.map(
+                        _process_worker_fetch,
+                        [(int(i), int(rng_seeds[i_pos[int(i)]])) for i in chunk],
+                    )
+                )
+            else:
+                samples = list(self._pool.map(fetch, chunk))
             return collate(samples)
 
         starts = list(range(0, len(order), self.batch_size))

@@ -158,7 +158,14 @@ class P2RNet(nn.Module):
         n_samples: int = 1,
         folded=None,
     ):
-        """Deterministic (or multi-mode sampled) eval forward pass."""
+        """Deterministic (or multi-mode sampled) eval forward pass.
+
+        ``folded``: optional precomputed ``fold_eval`` operands (a pure
+        function of the weights, jitted once per weight load — see
+        train/step.py:make_fold_fn).  They carry no association with the
+        variables used here: callers must re-fold after any weight change,
+        or stale graph/BN operands will silently mix with fresh weights.
+        """
         end_points, xyz, features = self._trunk(
             input_joints, train=False, folded=folded
         )

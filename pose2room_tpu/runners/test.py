@@ -55,6 +55,7 @@ def run(cfg):
         batch_size=batch_size,
         shuffle=False,
         num_workers=cfg.config.get("device", {}).get("num_workers", 8) or 0,
+        worker_mode=cfg.config.get("device", {}).get("worker_mode", "thread"),
         # per-host shard of the test set; AP/loss state is re-unioned across
         # processes below (synchronize_between_processes)
         process_index=jax.process_index(),

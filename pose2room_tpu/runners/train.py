@@ -24,6 +24,7 @@ def _make_loader(cfg, mode):
         shuffle=(mode == "train"),
         seed=cfg.config.get("seed", 42),
         num_workers=cfg.config.get("device", {}).get("num_workers", 8) or 0,
+        worker_mode=cfg.config.get("device", {}).get("worker_mode", "thread"),
         process_index=jax.process_index(),
         process_count=jax.process_count(),
     )

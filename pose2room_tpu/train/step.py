@@ -106,6 +106,14 @@ def make_fold_fn(model):
     generate fn's ``folded`` argument.  Returns () when the fused eval path
     is disabled/unfusable — pass None to generate in that case (both are
     equivalent; the per-call inline fold is then used).
+
+    CONTRACT: the folded operands are a pure function of the state they
+    were folded from — they carry no link back to it, so passing a stale
+    fold together with a LATER state to ``generate(folded=...)`` silently
+    mixes old graph/BN operands with new weights.  Re-fold after every
+    weight change (all current callers fold once per weight load; an
+    in-training-eval caller must re-fold per eval).  The same note is on
+    P2RNet.generate.
     """
     from pose2room_tpu.models.p2rnet import P2RNet
 

@@ -96,6 +96,19 @@ def main():
         ),
         variables, x, folded,
     )
+    # same fold, but closure-captured at trace time: XLA embeds the folded
+    # matrices as executable CONSTANTS (enables cross-program prefetch /
+    # different memory-space assignment than runtime args).  Serving can
+    # afford this form — it just means re-jitting generate per weight load.
+    stages["full generate (folded constants)"] = timeit(
+        "full generate (folded constants)",
+        jax.jit(
+            lambda v, xx: model.apply(
+                v, xx, folded=folded, method=P2R.generate
+            )["center"]
+        ),
+        variables, x,
+    )
     stages["backbone (ST-GCN)"] = timeit(
         "backbone (ST-GCN)",
         jax.jit(

@@ -98,6 +98,33 @@ def test_loader_batching(dataset_root):
     assert not np.array_equal(batches[0]["input_joints"], shuffled[0]["input_joints"])
 
 
+def test_loader_process_mode_matches_thread(dataset_root):
+    """worker_mode='process' (the reference's worker-process DataLoader
+    analogue, dataloader.py:173-197) must be batch-for-batch identical to
+    thread mode: augmentation seeds are pre-drawn from the epoch RNG, so
+    results cannot depend on worker kind or count."""
+    _, train, _ = dataset_root
+    ds = P2RNetDataset(train, num_frames=64, augment=True)
+    dl_t = DataLoader(ds, batch_size=4, shuffle=True, seed=1, num_workers=2)
+    dl_p = DataLoader(
+        ds, batch_size=4, shuffle=True, seed=1, num_workers=2,
+        worker_mode="process",
+    )
+    for epoch in range(2):
+        dl_t.set_epoch(epoch)
+        dl_p.set_epoch(epoch)
+        for bt, bp in zip(list(dl_t), list(dl_p)):
+            assert bt.keys() == bp.keys()
+            for k in bt:
+                if isinstance(bt[k], list):
+                    assert bt[k] == bp[k]
+                else:
+                    np.testing.assert_array_equal(bt[k], bp[k], err_msg=k)
+
+    with pytest.raises(ValueError):
+        DataLoader(ds, batch_size=4, num_workers=2, worker_mode="fiber")
+
+
 def test_loader_host_sharding(dataset_root):
     """Multi-host shards cover every sample, and — DistributedSampler
     parity — are wrap-padded so each host yields the SAME number of
