@@ -247,6 +247,52 @@ def test_loss_parity(reference_modules, our_model_and_params, rng):
         )
 
 
+def test_convert_roundtrip(reference_modules):
+    """flax->torch export is the exact inverse of the torch->flax import.
+
+    Coverage-checked: the export writes into a ZEROED copy of the torch
+    state_dict, so any trainable parameter the exporter fails to map stays
+    zero and the bit-exact comparison fails (writing into the original
+    template would pass vacuously).  Buffers the pytree never carries (the
+    graph ``A``, BatchNorm ``num_batches_tracked``) are the documented
+    exceptions — they are architecture constants / torch bookkeeping.
+    """
+    from pose2room_tpu.convert import (
+        convert_reference_state_dict,
+        export_to_reference_state_dict,
+    )
+
+    _, backbone, voting, detection = reference_modules
+    sd = {}
+    for phase, mod in (
+        ("backbone", backbone),
+        ("centervoting", voting),
+        ("detection", detection),
+    ):
+        for k, v in mod.state_dict().items():
+            sd[f"{phase}.{k}"] = v.numpy()
+
+    payload = convert_reference_state_dict(sd)
+
+    def is_buffer(k):
+        return k.endswith("num_batches_tracked") or k.split(".")[-1] == "A"
+
+    n_buffers = sum(is_buffer(k) for k in sd)
+    assert n_buffers < len(sd) / 4  # sanity: the exemption list stays small
+
+    zeroed = {
+        k: (v if is_buffer(k) else np.zeros_like(v)) for k, v in sd.items()
+    }
+    out = export_to_reference_state_dict(payload, zeroed)
+    assert set(out) == set(sd)
+    for k, v in sd.items():
+        if is_buffer(k):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(out[k]), np.asarray(v), err_msg=k
+        )
+
+
 def test_strip_prefixes():
     """DataParallel 'module.' prefixes and phase grouping (convert.py)."""
     from pose2room_tpu.convert import strip_prefixes
