@@ -59,12 +59,18 @@ TEST_CFG = {
 }
 
 
-def _run_reference_pipeline(workdir, split_dir, data_cfg):
+def _run_reference_pipeline(workdir, split_dir, data_cfg, payload=None):
     """Drive /root/reference's real test entry; returns (metrics, state_dict).
 
     metrics: {"mAP": [..per threshold..], "AR": [...]} scraped from the run's
     log.txt (the reference only REPORTS metrics, test_epoch.py:70-76 — the
     log is its output contract, which is exactly what we want to A/B).
+
+    ``payload``: optional flax {'params','batch_stats'} pytree (e.g. a
+    checkpoint TRAINED by this framework).  When given, it is exported into
+    the reference modules (convert.export_to_reference_state_dict) and the
+    reference pipeline runs on those weights; otherwise a seeded random
+    init with pinned MDN heads is used (see below).
     """
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
     from measure_torch_baseline import install_cpu_pointnet2, stub_viz_deps
@@ -128,22 +134,37 @@ def _run_reference_pipeline(workdir, split_dir, data_cfg):
         # it assumes a trained model.  Pin the size mixture to one sane
         # component so both pipelines run the FULL eval path (incl.
         # remove_far_box) on realistic boxes.
-        with torch.no_grad():
-            for head, mu0 in (
-                # center offset ~0: proposals sit on the vote clusters,
-                # which the synthetic trajectory routes through the GT
-                # centroids — so some predictions actually MATCH at
-                # IoU 0.25 and the AP/AR comparison is non-vacuous
-                ("center", [0.0, 0.0, 0.0]),
-                ("size", list(np.log([1.3, 1.1, 1.3]))),
-                ("heading", [0.0, 1.0]),  # (sin, cos) -> heading 0
-            ):
-                pb = sd[f"module.detection.gmm_{head}.mdn.pi.conv.bias"]
-                pb.fill_(-6.0)
-                pb[0] = 6.0
-                sd[f"module.detection.gmm_{head}.mdn.mu"][0] = torch.tensor(
-                    mu0
-                )
+        if payload is not None:
+            # trained-weights A/B: export OUR flax checkpoint into the
+            # reference modules (the inverse converter; bit-exactness locked
+            # by test_torch_parity.py::test_convert_roundtrip) — proposals
+            # of a trained model are distinct, so the mAP/AR comparison
+            # below needs no NMS-tie allowance
+            from pose2room_tpu.convert import export_to_reference_state_dict
+
+            np_sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+            exported = export_to_reference_state_dict(payload, np_sd)
+            sd = {
+                k: torch.as_tensor(np.asarray(v))
+                for k, v in exported.items()
+            }
+        else:
+            with torch.no_grad():
+                for head, mu0 in (
+                    # center offset ~0: proposals sit on the vote clusters,
+                    # which the synthetic trajectory routes through the GT
+                    # centroids — so some predictions actually MATCH at
+                    # IoU 0.25 and the AP/AR comparison is non-vacuous
+                    ("center", [0.0, 0.0, 0.0]),
+                    ("size", list(np.log([1.3, 1.1, 1.3]))),
+                    ("heading", [0.0, 1.0]),  # (sin, cos) -> heading 0
+                ):
+                    pb = sd[f"module.detection.gmm_{head}.mdn.pi.conv.bias"]
+                    pb.fill_(-6.0)
+                    pb[0] = 6.0
+                    sd[f"module.detection.gmm_{head}.mdn.mu"][0] = (
+                        torch.tensor(mu0)
+                    )
         pth = os.path.join(workdir, "ref_weights.pth")
         torch.save({"net": sd}, pth)
 
@@ -315,6 +336,128 @@ def test_whole_system_map_ab(tmp_path_factory):
     """Reference test pipeline and ours report IDENTICAL mAP/AR."""
     workdir = str(tmp_path_factory.mktemp("sysab"))
     _run_ab(workdir, DATA_CFG, raw_frames=120)
+
+
+def _train_ours(workdir, split_dir, data_cfg, epochs=8, batch_size=2):
+    """Train OUR framework on the synthetic dataset.
+
+    Returns (checkpoint_path, {'params','batch_stats'} payload) of the
+    best-val checkpoint — the input to the inverse converter.
+    """
+    import orbax.checkpoint as ocp
+
+    from pose2room_tpu.config import CONFIG
+    from pose2room_tpu.runners import train as train_runner
+
+    cfg = CONFIG(
+        args={"mode": "train"},
+        config={
+            "method": "P2RNet",
+            "resume": False,
+            "finetune": False,
+            "weight": [],
+            "seed": 42,
+            "mode": "train",
+            "device": {"num_workers": 0},
+            "data": dict(data_cfg, split=split_dir),
+            "model": {
+                "backbone": {"method": "STGCN", "loss": "Null"},
+                "centervoting": {"method": "CenterVoteModule", "loss": "Null"},
+                "detection": {
+                    "method": "ProposalNet", "loss": "BoxNetDetectionLoss",
+                },
+            },
+            "optimizer": {"method": "Adam", "lr": 1e-3, "betas": [0.9, 0.999],
+                          "eps": 1e-8, "weight_decay": 0, "clip_norm": -1},
+            "scheduler": {"milestones": [max(epochs - 2, 1)], "gamma": 0.1},
+            "train": {"epochs": epochs, "phase": "full", "freeze": [],
+                      "batch_size": batch_size},
+            "val": {"phase": "full", "batch_size": batch_size},
+            "test": dict(TEST_CFG),
+            "generation": {"dump_results": False, "dump_threshold": 0.5},
+            "log": {"vis_path": "visualization", "save_weight_step": epochs,
+                    "save_results": False, "vis_step": 1000, "print_step": 50,
+                    "path": os.path.join(workdir, "train_out")},
+        },
+    )
+    train_runner.run(cfg)
+    ckpt = os.path.join(cfg.save_path, "model_best")
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
+    payload = {
+        "params": restored["params"],
+        "batch_stats": restored["batch_stats"],
+    }
+    return ckpt, payload
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_TRAINED_SYSTEM_AB"),
+    reason="opt-in (set RUN_TRAINED_SYSTEM_AB=1): trains 30 epochs on the "
+    "CPU mesh first (~45-60 min on one core); last recorded green run in "
+    "BENCH_NOTES.md",
+)
+def test_whole_system_map_ab_trained(tmp_path_factory):
+    """Trained-weights whole-system closure (VERDICT r4 #4): a checkpoint
+    TRAINED by this framework is exported into the unmodified reference
+    modules (convert.export_to_reference_state_dict) and both FULL test
+    pipelines run on it — reported mAP/AR must be identical at log
+    precision, with no NMS-tie allowance (trained proposals are distinct,
+    unlike the pinned-random production A/B above)."""
+    from pose2room_tpu.data import write_synthetic_dataset
+
+    workdir = str(tmp_path_factory.mktemp("sysab_trained"))
+    ds_root = os.path.join(workdir, "dataset")
+    write_synthetic_dataset(ds_root, n_train=8, n_test=4, n_frames=120)
+    split_dir = os.path.join(ds_root, "splits", "script_level")
+
+    # enough steps for the size/center heads to leave the degenerate-box
+    # regime (8 epochs measured insufficient: the UNNORMALIZED MDN get_mean
+    # starts at size ~0.01 m and remove_far_box then drops every proposal,
+    # which the reference pipeline ASSERTS on, ap_helper.py:230)
+    ckpt, payload = _train_ours(workdir, split_dir, DATA_CFG, epochs=30)
+    ref_metrics, _ = _run_reference_pipeline(
+        workdir, split_dir, DATA_CFG, payload=payload
+    )
+    ours, our_losses = _run_our_pipeline(workdir, split_dir, ckpt, DATA_CFG)
+    _assert_parity(ref_metrics, ours, our_losses)
+
+
+@pytest.mark.skipif(
+    not (os.environ.get("PROD_TRAINED_CKPT")
+         and os.environ.get("PROD_SPLIT_DIR")),
+    reason="opt-in: set PROD_TRAINED_CKPT=<orbax model dir> and "
+    "PROD_SPLIT_DIR=<synthetic split dir> (e.g. the scripts/run_multimodal.py "
+    "training run) — the PRODUCTION-shape trained A/B, ~10-30 min on one CPU "
+    "core; last recorded run in BENCH_NOTES.md",
+)
+def test_whole_system_map_ab_trained_production(tmp_path_factory):
+    """The trained-weights A/B at PRODUCTION shapes (768/512/128/100) —
+    where the pinned-random variant above needed a 2e-3 NMS-tie allowance,
+    a TRAINED checkpoint has distinct proposals and both pipelines must
+    report IDENTICAL mAP/AR at log precision."""
+    import orbax.checkpoint as ocp
+
+    workdir = str(tmp_path_factory.mktemp("sysab_trained_prod"))
+    split_dir = os.environ["PROD_SPLIT_DIR"]
+    ckpt = os.environ["PROD_TRAINED_CKPT"]
+    prod_cfg = dict(
+        DATA_CFG,
+        num_frames=768,
+        num_seeds=512,
+        num_target=128,
+        num_gaussian=100,
+    )
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
+    payload = {
+        "params": restored["params"],
+        "batch_stats": restored["batch_stats"],
+    }
+    ref_metrics, _ = _run_reference_pipeline(
+        workdir, split_dir, prod_cfg, payload=payload
+    )
+    ours, our_losses = _run_our_pipeline(workdir, split_dir, ckpt, prod_cfg)
+    _assert_parity(ref_metrics, ours, our_losses)
+    print("production trained A/B:", ref_metrics, ours)
 
 
 @pytest.mark.skipif(
