@@ -28,10 +28,35 @@ def run(cfg):
         return []
 
     data_cfg = cfg.config["data"]
-    generate = make_generate_fn(model)
-    # fold the graph matrices once — demo is the batch-1 latency path where
-    # the inline re-fold would be 39% of the device step (BENCH_NOTES.md)
+    # fold the graph matrices once and BAKE them into the executable as
+    # constants — demo is the batch-1 latency path, where the inline re-fold
+    # would be 39% of the device step and the baked form buys another 2.8%
+    # via cross-program prefetch (BENCH_NOTES.md rounds 4-5); demo jits once
+    # per weight load, so the bake_folded staleness contract is trivially met.
+    # The bake inflates the serialized HLO by the folded operand bytes
+    # (~143 MB bf16 / ~286 MB f32): environments that ship programs to a
+    # remote compile service can reject it (observed: axon tunnel HTTP 413
+    # on the f32 form), so the first clip runs under a fallback to the
+    # runtime-arg fold — same math (tests/test_fold_eval.py), no constants.
     folded = make_fold_fn(model)(state)
+    baked = make_generate_fn(model, bake_folded=folded) if folded else None
+    runtime_arg = None  # built lazily on fallback
+
+    def run_generate(joints):
+        nonlocal baked, runtime_arg
+        if baked is not None:
+            try:
+                return baked(state, joints)
+            except Exception as err:  # compile-time rejection of the bake
+                cfg.log_string(
+                    f"baked-constants generate failed to compile ({err}); "
+                    "falling back to the runtime-arg folded form"
+                )
+                baked = None
+        if runtime_arg is None:
+            runtime_arg = make_generate_fn(model)
+        return runtime_arg(state, joints, folded=folded)
+
     results = []
     for path in inputs:
         joints = load_demo_clip(
@@ -39,7 +64,7 @@ def run(cfg):
             num_frames=data_cfg.get("num_frames", 768),
             use_height=not data_cfg.get("no_height", True),
         )[None]  # (1,T,V,3)
-        end_points = generate(state, joints, folded=folded)
+        end_points = run_generate(joints)
         eval_dict, parsed = parse_predictions(
             end_points, {"input_joints": joints}, cfg.eval_config
         )

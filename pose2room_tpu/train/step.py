@@ -131,7 +131,7 @@ def make_fold_fn(model):
     return fold_or_none
 
 
-def make_generate_fn(model, multi_mode=False, n_samples=1):
+def make_generate_fn(model, multi_mode=False, n_samples=1, bake_folded=None):
     """Jitted inference returning the full end_points dict.
 
     Deterministic (MDN get_mean) by default; with ``multi_mode`` the mixture
@@ -140,6 +140,14 @@ def make_generate_fn(model, multi_mode=False, n_samples=1):
 
     ``folded``: optional precomputed make_fold_fn(model)(state) operands —
     the serving configuration; omitting it folds inline each call.
+
+    ``bake_folded``: same operands, but closure-captured at trace time —
+    XLA then embeds the six (3456, 3456) graph matrices as executable
+    CONSTANTS and cross-program-prefetches them, measured -2.8% on the
+    batch-1 demo step (BENCH_NOTES round-5).  The returned fn then ignores
+    its ``folded`` argument, and the make_fold_fn staleness contract moves
+    up a level: re-call make_generate_fn after every weight change (the
+    demo runner does — it jits once per weight load anyway).
     """
     from pose2room_tpu.models.p2rnet import P2RNet
 
@@ -147,6 +155,8 @@ def make_generate_fn(model, multi_mode=False, n_samples=1):
 
         @jax.jit
         def generate(state: TrainState, input_joints, rng, folded=None):
+            if bake_folded is not None:
+                folded = bake_folded
             return model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 input_joints,
@@ -161,6 +171,8 @@ def make_generate_fn(model, multi_mode=False, n_samples=1):
 
         @jax.jit
         def generate(state: TrainState, input_joints, rng=None, folded=None):
+            if bake_folded is not None:
+                folded = bake_folded
             return model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 input_joints,

@@ -100,3 +100,44 @@ def test_make_fold_fn_and_generate_kwarg(rng):
                                        fused_eval=False))
     state_u, _, _ = create_train_state(unfused, key, sample, {"lr": 1e-3})
     assert make_fold_fn(unfused)(state_u) is None
+
+
+def test_bake_folded_matches_runtime_arg(rng):
+    """The demo runner's serving form: make_generate_fn(bake_folded=...)
+    closure-captures the folded operands (XLA embeds them as executable
+    constants, cross-program-prefetched — measured -2.8% on the batch-1
+    step, BENCH_NOTES round-5).  Constants-vs-runtime-args must not change
+    the math: outputs equal the runtime-arg form, and the baked fn ignores
+    a (stale) folded argument.
+
+    f32 on purpose: constants-vs-args legitimately changes XLA fusion, and
+    under bf16 rounding that can flip near-tie FPS/ball-query selections
+    (observed: 6/96 center elements O(1)-different — the same discrete
+    reselection documented for f32-vs-bf16 eval in BENCH_NOTES round-2).
+    In f32 the compiled math is fusion-stable and the equality is tight."""
+    cfg = _small_cfg(compute_dtype="float32")
+    model = P2RNet(config=cfg)
+    key = jax.random.PRNGKey(0)
+    sample = np.zeros((1, cfg.num_frames, 53, 3), np.float32)
+    state, _, _ = create_train_state(model, key, sample, {"lr": 1e-3})
+    x = rng.randn(2, cfg.num_frames, 53, 3).astype(np.float32) * 0.5
+
+    folded = make_fold_fn(model)(state)
+    out_arg = make_generate_fn(model)(state, x, folded=folded)
+    baked = make_generate_fn(model, bake_folded=folded)
+    out_baked = baked(state, x)
+    # baked constants may be laid out/fused differently by XLA than runtime
+    # args — allow layout-level rounding, not semantic drift
+    np.testing.assert_allclose(
+        np.asarray(out_arg["center"], np.float32),
+        np.asarray(out_baked["center"], np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
+    # the folded kwarg is advertised as ignored when baked: passing
+    # obviously-wrong operands must not change the output
+    poisoned = tuple(jnp.zeros_like(f) for f in folded)
+    out_poisoned = baked(state, x, folded=poisoned)
+    np.testing.assert_array_equal(
+        np.asarray(out_baked["center"], np.float32),
+        np.asarray(out_poisoned["center"], np.float32),
+    )
