@@ -7,6 +7,11 @@ INTERLEAVED in one process so machine drift cannot bias the comparison.
 Numbers recorded in BENCH_NOTES.md ("fused ST-GCN train chain").
 
 Usage: python scripts/bench_train_step.py [--batch 8] [--iters 20]
+                                           [--trace /tmp/train_trace]
+
+``--trace DIR`` additionally captures a jax.profiler device trace of 10
+chained FUSED-path steps (feed DIR to scripts/xplane_op_profile.py for the
+op-level attribution — BENCH_NOTES round-5 train attribution).
 """
 
 import argparse
@@ -24,6 +29,7 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--trace", default=None)
     args = parser.parse_args()
 
     import jax
@@ -115,6 +121,17 @@ def main():
         )
     speedup = min(runs[False]["chained"]) / min(runs[True]["chained"])
     print(f"device-step speedup (module/fused): {speedup:.3f}x")
+
+    if args.trace:
+        r = runs[True]
+        jax.profiler.start_trace(args.trace)
+        st = r["state"]
+        for _ in range(10):
+            st, losses = r["step"](st, batch, key)
+        jax.block_until_ready(losses["total"])
+        jax.profiler.stop_trace()
+        r["state"] = st
+        print(f"fused-path trace written to {args.trace}")
 
 
 if __name__ == "__main__":
