@@ -18,7 +18,8 @@ from pose2room_tpu.utils.vis import dump_predictions, write_ply_boxes, write_ply
 
 
 def run(cfg):
-    model, state, _, _, mesh, _, _, _ = setup(cfg, "demo")
+    # resolve inputs BEFORE setup(): weight restore + device init cost
+    # minutes on a remote-compile backend and are wasted on an empty dir
     demo_path = cfg.config.get("demo_path", "demo")
     inputs = sorted(glob.glob(os.path.join(demo_path, "inputs", "*.npy")))
     if not inputs:
@@ -26,6 +27,7 @@ def run(cfg):
     if not inputs:
         cfg.log_string(f"No demo .npy inputs under {demo_path}")
         return []
+    model, state, _, _, mesh, _, _, _ = setup(cfg, "demo")
 
     data_cfg = cfg.config["data"]
     # fold the graph matrices once and BAKE them into the executable as
