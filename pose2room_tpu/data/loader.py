@@ -13,7 +13,7 @@ Two worker modes (``device.worker_mode``):
   augmentation ops release the GIL, so threads overlap IO with device steps
   at zero IPC cost; throughput is bounded by roughly one core of Python
   (measured 114 samples/s/core, BENCH_NOTES.md round-4).
-* ``process``: a fork-based ProcessPoolExecutor — the reference's
+* ``process``: a forkserver-based ProcessPoolExecutor — the reference's
   12-worker-process DataLoader equivalent (dataloader.py:173-197) for
   multi-core hosts where one core of Python cannot feed the chip; samples
   return by pickle (≈1.5 MB each), so this pays IPC to buy real
@@ -83,11 +83,16 @@ class DataLoader:
         elif worker_mode == "process":
             import multiprocessing
 
-            # fork: workers inherit the page cache and cost no spawn-time
-            # re-import; the dataset is shipped once via the initializer
+            # forkserver, not fork: workers must fork from the clean
+            # single-threaded server process — a plain fork of this process
+            # (multithreaded by the time the pool lazily spawns: JAX client,
+            # prefetcher, other loaders) can clone a child holding a locked
+            # mutex (malloc arena, HDF5 global lock, gRPC) and deadlock.
+            # The dataset ships once via the initializer (pickled either
+            # way); the OS page cache is shared regardless of start method.
             self._pool = ProcessPoolExecutor(
                 max_workers=num_workers,
-                mp_context=multiprocessing.get_context("fork"),
+                mp_context=multiprocessing.get_context("forkserver"),
                 initializer=_process_worker_init,
                 initargs=(dataset,),
             )

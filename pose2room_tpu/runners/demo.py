@@ -9,6 +9,7 @@ import glob
 import os
 
 import numpy as np
+from jax.tree_util import tree_leaves as jax_tree_leaves
 
 from pose2room_tpu.data.dataset import load_demo_clip
 from pose2room_tpu.eval import parse_predictions, assembly_pred_map_cls
@@ -41,7 +42,29 @@ def run(cfg):
     # on the f32 form), so the first clip runs under a fallback to the
     # runtime-arg fold — same math (tests/test_fold_eval.py), no constants.
     folded = make_fold_fn(model)(state)
-    baked = make_generate_fn(model, bake_folded=folded) if folded else None
+    # demo.bake_folded: true / false / "auto" (default).  Auto skips the
+    # bake when the folded operands alone exceed ~200 MB serialized HLO —
+    # the f32 form (~286 MB) was OBSERVED to be rejected by the remote
+    # compile service (HTTP 413), so attempting it would just pay a
+    # multi-minute failed upload before the fallback; the bf16 form
+    # (~143 MB) fits and is the benchmarked serving config.
+    bake_cfg = cfg.config.get("demo", {}).get("bake_folded", "auto")
+    if folded and bake_cfg == "auto":
+        folded_bytes = sum(
+            np.prod(a.shape) * a.dtype.itemsize
+            for a in jax_tree_leaves(folded)
+        )
+        bake_cfg = folded_bytes < 200 * 2**20
+        if not bake_cfg:
+            cfg.log_string(
+                f"folded operands {folded_bytes / 2**20:.0f} MB >= 200 MB: "
+                "skipping the baked-constants form (known remote-compile "
+                "rejection size); using the runtime-arg fold"
+            )
+    baked = (
+        make_generate_fn(model, bake_folded=folded)
+        if folded and bake_cfg else None
+    )
     runtime_arg = None  # built lazily on fallback
 
     def run_generate(joints):

@@ -207,7 +207,11 @@ def train(
                     )
                 )
                 train_step = make_train_step(model, tx, origin)
-                eval_step = make_eval_step(model, origin)
+                # eval_step is NOT rebuilt: momentum only affects the
+                # running-stat update inside the train step; eval applies
+                # with train=False (running averages), so its compiled
+                # program is identical and a rebuild would only waste a
+                # remote compile per decay epoch
             # reference BNMomentumScheduler.show_momentum (torch convention)
             log(f"Current BN decay momentum :{1.0 - flax_m:f}.")
         factor = gamma ** sum(1 for m in milestones if epoch >= m)
